@@ -1,0 +1,18 @@
+from dune_eigensolver_tpu.dist.mesh import ROW_AXIS, make_mesh
+from dune_eigensolver_tpu.dist.sharded import (
+    dia_spmm_halo,
+    halo_exchange,
+    psum_reduce,
+    sharded_generalized_inverse,
+    sharded_standard_largest,
+)
+
+__all__ = [
+    "ROW_AXIS",
+    "make_mesh",
+    "dia_spmm_halo",
+    "halo_exchange",
+    "psum_reduce",
+    "sharded_generalized_inverse",
+    "sharded_standard_largest",
+]

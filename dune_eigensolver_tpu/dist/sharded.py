@@ -1,0 +1,265 @@
+"""Row-partitioned multi-chip execution: halo-exchange SpMM, allreduce
+orthogonalization, and sharded solver drivers.
+
+This is the distributed layer the reference deliberately does not have (MPI
+startup is commented out with "DO NOT INITIALIZE MPI", src/
+dune-eigensolver.cc:742-748; its only concurrency is benchmark-replica
+threads). TPU-natively:
+
+* the matrix (DIA) and multivector rows are sharded over a 1D mesh axis;
+* SpMM needs off-shard X rows up to the bandwidth: neighbors exchange halo
+  slabs via ``lax.ppermute`` (non-cyclic, so edge shards receive zeros —
+  exactly the Dirichlet zero-padding the local kernel expects), overlapping
+  with the local diagonal contributions;
+* every Gram matrix / dot product / convergence reduction becomes one
+  ``lax.psum`` (the ``gram_reduce`` hook threaded through ops/ and solvers/);
+* the entire solver while-loop runs inside one ``shard_map``, so an N-chip
+  solve is a single XLA computation with ICI collectives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dune_eigensolver_tpu.dist.mesh import ROW_AXIS, make_mesh
+from dune_eigensolver_tpu.sparse.formats import DIAMatrix
+
+
+def halo_exchange(x_local: jax.Array, halo: int, axis: str = ROW_AXIS):
+    """Gather ``halo`` boundary rows from each neighbor.
+
+    Returns x_ext of shape (halo + nloc + halo, m). Edge shards get zeros in
+    the missing direction (lax.ppermute semantics), matching the zero
+    padding of the single-chip DIA SpMM.
+    """
+    ndev = lax.axis_size(axis)
+    if ndev == 1:
+        pad = jnp.zeros((halo,) + x_local.shape[1:], x_local.dtype)
+        return jnp.concatenate([pad, x_local, pad], axis=0)
+    fwd = [(i, i + 1) for i in range(ndev - 1)]  # my top rows -> right's left halo
+    bwd = [(i + 1, i) for i in range(ndev - 1)]
+    from_left = lax.ppermute(x_local[-halo:], axis, fwd)
+    from_right = lax.ppermute(x_local[:halo], axis, bwd)
+    return jnp.concatenate([from_left, x_local, from_right], axis=0)
+
+
+def dia_spmm_halo(
+    data_local: jax.Array,
+    offsets: tuple,
+    x_local: jax.Array,
+    axis: str = ROW_AXIS,
+) -> jax.Array:
+    """Local rows of ``A @ X`` for a row-sharded DIA matrix.
+
+    data_local: (ndiag, nloc) — this shard's rows of every diagonal.
+    x_local: (nloc, m). Requires halo = max|offset| <= nloc.
+    """
+    nloc, m = x_local.shape
+    halo = max((abs(o) for o in offsets), default=0)
+    if halo > nloc:
+        raise ValueError(
+            f"dia_spmm_halo: bandwidth {halo} exceeds local rows {nloc}; "
+            "use fewer shards or a wider partition"
+        )
+    x_ext = halo_exchange(x_local, halo, axis) if halo else x_local
+    acc = jnp.zeros_like(x_local)
+    for d, off in enumerate(offsets):
+        shifted = lax.slice(x_ext, (halo + off, 0), (halo + off + nloc, m))
+        acc = acc + data_local[d][:, None] * shifted
+    return acc
+
+
+def psum_reduce(axis: str = ROW_AXIS):
+    return lambda g: lax.psum(g, axis)
+
+
+def _shard_dia(A: DIAMatrix, mesh: Mesh, axis: str) -> DIAMatrix:
+    data = jax.device_put(A.data, NamedSharding(mesh, P(None, axis)))
+    return DIAMatrix(data=data, offsets=A.offsets, shape=A.shape)
+
+
+def _check_divisible(n: int, mesh: Mesh):
+    ndev = mesh.devices.size
+    if n % ndev != 0:
+        raise ValueError(f"row count {n} not divisible by mesh size {ndev}")
+
+
+def sharded_standard_largest(
+    A: DIAMatrix,
+    nev: int,
+    tol: float,
+    maxiter: int,
+    shift: float = 0.0,
+    mesh: Optional[Mesh] = None,
+    block: int = 8,
+    seed: int = 123,
+    ortho_iterations: int = 1,
+    axis: str = ROW_AXIS,
+):
+    """Multi-chip standard_largest: same semantics, rows sharded over mesh."""
+    from dune_eigensolver_tpu.solvers.standard import (
+        padded_width,
+        random_multivector,
+        standard_largest,
+    )
+
+    mesh = mesh or make_mesh(axis=axis)
+    n = A.shape[0]
+    _check_divisible(n, mesh)
+    A_sh = A.with_shifted_diagonal(shift) if shift != 0.0 else A
+    A_sh = _shard_dia(A_sh, mesh, axis)
+    m = padded_width(nev, block)
+    Q0 = random_multivector(jax.random.PRNGKey(seed), n, m, A.dtype)
+    Q0 = jax.device_put(Q0, NamedSharding(mesh, P(axis, None)))
+
+    def local_solver(adata, q0):
+        apply_a = partial(dia_spmm_halo, adata, A.offsets, axis=axis)
+        res = standard_largest(
+            _LocalOperand(adata, A.offsets, A.shape, q0.dtype),
+            nev,
+            tol,
+            maxiter,
+            shift=shift,
+            block=block,
+            seed=seed,
+            ortho_iterations=ortho_iterations,
+            apply_a=apply_a,
+            gram_reduce=psum_reduce(axis),
+            q0=q0,
+        )
+        return res
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_solver,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(axis, None)),
+            out_specs=_result_specs(axis),
+        )
+    )
+    return fn(A_sh.data, Q0)
+
+
+def sharded_generalized_inverse(
+    A: DIAMatrix,
+    B: DIAMatrix,
+    nev: int,
+    tol: float,
+    maxiter: int,
+    shift: float = 0.0,
+    reg: float = 0.0,
+    mesh: Optional[Mesh] = None,
+    block: int = 8,
+    seed: int = 123,
+    min_iter: int = 10,
+    ortho_iterations: int = 1,
+    cg_rtol: float = 1e-6,
+    cg_maxiter: int = 2000,
+    axis: str = ROW_AXIS,
+):
+    """Multi-chip generalized_inverse. The inner inverse application is the
+    matrix-free CG operator (fully local SpMM + psum dots); the host-LU
+    direct solve is single-chip only in this round."""
+    from dune_eigensolver_tpu.factorize.cg import cg_solve
+    from dune_eigensolver_tpu.solvers.generalized import generalized_inverse
+    from dune_eigensolver_tpu.solvers.standard import padded_width, random_multivector
+
+    mesh = mesh or make_mesh(axis=axis)
+    n = A.shape[0]
+    _check_divisible(n, mesh)
+
+    A_op = A
+    if shift != 0.0:
+        A_op = A_op.axpy(shift, B)
+    if reg != 0.0:
+        A_op = A_op.with_shifted_diagonal(reg)
+    A_op = _shard_dia(A_op, mesh, axis)
+    B_sh = _shard_dia(B, mesh, axis)
+    m = padded_width(nev, block)
+    Q0 = random_multivector(jax.random.PRNGKey(seed), n, m, A.dtype)
+    Q0 = jax.device_put(Q0, NamedSharding(mesh, P(axis, None)))
+
+    reduce_ = psum_reduce(axis)
+
+    def local_solver(adata, bdata, q0):
+        apply_a = partial(dia_spmm_halo, adata, A.offsets, axis=axis)
+        apply_b = partial(dia_spmm_halo, bdata, B.offsets, axis=axis)
+        diag_local = adata[A.offsets.index(0)]
+
+        def inverse(_unused):
+            def solve(X):
+                Y, _ = cg_solve(
+                    apply_a,
+                    X,
+                    diag=diag_local,
+                    rtol=cg_rtol,
+                    maxiter=cg_maxiter,
+                    gram_reduce=reduce_,
+                )
+                return Y
+
+            return solve
+
+        return generalized_inverse(
+            _LocalOperand(adata, A.offsets, A.shape, q0.dtype),
+            _LocalOperand(bdata, B.offsets, B.shape, q0.dtype),
+            nev,
+            tol,
+            maxiter,
+            shift=0.0,  # shift/reg already folded into adata above
+            reg=0.0,
+            block=block,
+            seed=seed,
+            min_iter=min_iter,
+            ortho_iterations=ortho_iterations,
+            inverse=inverse,
+            apply_a=apply_a,
+            apply_b=apply_b,
+            gram_reduce=reduce_,
+            q0=q0,
+            eval_shift=shift,
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_solver,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None, axis), P(axis, None)),
+            out_specs=_result_specs(axis),
+        )
+    )
+    return fn(A_op.data, B_sh.data, Q0)
+
+
+class _LocalOperand:
+    """Minimal duck-typed operand for solver internals that only need
+    .shape/.dtype when apply_a/apply_b/q0 are all supplied."""
+
+    def __init__(self, data, offsets, shape, dtype):
+        self._data = data
+        self.offsets = offsets
+        self.shape = shape
+        self.dtype = dtype
+
+    def diagonal(self):
+        return self._data[self.offsets.index(0)]
+
+
+def _result_specs(axis: str):
+    from dune_eigensolver_tpu.solvers.result import EigenResult
+
+    return EigenResult(
+        eigenvalues=P(),
+        eigenvectors=P(axis, None),
+        iterations=P(),
+        converged=P(),
+        criterion=P(),
+        ortho_monitor=P(),
+    )

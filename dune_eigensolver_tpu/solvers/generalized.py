@@ -51,6 +51,8 @@ def generalized_inverse(
     apply_a: Optional[Callable] = None,
     apply_b: Optional[Callable] = None,
     gram_reduce: Optional[Callable] = None,
+    q0: Optional[jax.Array] = None,
+    eval_shift: Optional[float] = None,
     dtype=None,
 ) -> EigenResult:
     """Smallest-nev eigenpairs of ``A x = lambda B x``.
@@ -58,6 +60,12 @@ def generalized_inverse(
     ``inverse``: factory mapping the shifted operator A' = A + shift*B +
     reg*I to a jittable multi-RHS solve ``X -> A'^-1 X`` (host-LU trisolve by
     default; CG for the matrix-free TPU path).
+
+    ``apply_a``/``apply_b``/``gram_reduce``/``q0`` let the distributed layer
+    inject halo-exchange SpMMs, a psum, and a pre-sharded start block. When a
+    caller pre-folds the shift into ``apply_a`` (sharded path), pass
+    ``shift=0`` and the original shift as ``eval_shift`` so the Rayleigh
+    quotients are un-shifted correctly (eigensolver.hh:311-312).
     """
     A_sh = A
     if shift != 0.0:
@@ -75,9 +83,8 @@ def generalized_inverse(
         apply_b = lambda X: spmm(B, X)
 
     dtype = dtype or A.dtype
-    n = A.shape[0]
     m = padded_width(nev, block)
-    shift_ = jnp.asarray(shift, dtype)
+    shift_ = jnp.asarray(shift if eval_shift is None else eval_shift, dtype)
     reduce_ = gram_reduce or (lambda g: g)
     b_ortho = partial(
         b_orthonormalize_blocked,
@@ -87,7 +94,11 @@ def generalized_inverse(
         iterations=ortho_iterations,
     )
 
-    Q = random_multivector(jax.random.PRNGKey(seed), n, m, dtype)
+    Q = (
+        q0
+        if q0 is not None
+        else random_multivector(jax.random.PRNGKey(seed), A.shape[0], m, dtype)
+    )
     Q, norm0 = b_ortho(Q)
     sA = reduce_(dot_products_diagonal(apply_a(Q), Q))
     ra2 = sA - shift_

@@ -51,6 +51,7 @@ def standard_largest(
     ortho_iterations: int = 1,
     apply_a: Optional[Callable] = None,
     gram_reduce: Optional[Callable] = None,
+    q0: Optional[jax.Array] = None,
     dtype=None,
 ) -> EigenResult:
     """Largest-nev eigenpairs of ``A x = lambda x`` by blocked orthogonal
@@ -59,16 +60,22 @@ def standard_largest(
     Per iteration: Q2 = A' Q1; orthonormalize Q2; Rayleigh quotients via a
     second SpMM + per-column dots; stop when max |lambda^k - lambda^{k-1}|
     < tol (after at least 2 iterations), where A' = A + shift*I.
+
+    ``apply_a``/``gram_reduce``/``q0`` let the distributed layer inject a
+    halo-exchange SpMM, a psum, and a pre-sharded start block.
     """
     if apply_a is None:
         A_sh = A.with_shifted_diagonal(shift) if shift != 0.0 else A
         apply_a = lambda X: spmm(A_sh, X)
     dtype = dtype or A.dtype
-    n = A.shape[0]
     m = padded_width(nev, block)
     shift_ = jnp.asarray(shift, dtype)
 
-    Q = random_multivector(jax.random.PRNGKey(seed), n, m, dtype)
+    Q = (
+        q0
+        if q0 is not None
+        else random_multivector(jax.random.PRNGKey(seed), A.shape[0], m, dtype)
+    )
     Q = orthonormalize_blocked(
         Q, block=block, gram_reduce=gram_reduce, iterations=ortho_iterations
     )
@@ -121,6 +128,7 @@ def standard_inverse(
     ortho_iterations: int = 1,
     inverse: Optional[Callable] = None,
     gram_reduce: Optional[Callable] = None,
+    q0: Optional[jax.Array] = None,
     dtype=None,
 ) -> EigenResult:
     """Smallest-nev eigenpairs of ``A x = lambda x`` by shift-invert inverse
@@ -138,11 +146,14 @@ def standard_inverse(
         inverse = lu_inverse_factory
     apply_inv = inverse(A_sh)
     dtype = dtype or A.dtype
-    n = A.shape[0]
     m = padded_width(nev, block)
     shift_ = jnp.asarray(shift, dtype)
 
-    Q = random_multivector(jax.random.PRNGKey(seed), n, m, dtype)
+    Q = (
+        q0
+        if q0 is not None
+        else random_multivector(jax.random.PRNGKey(seed), A.shape[0], m, dtype)
+    )
     Q = orthonormalize_blocked(
         Q, block=block, gram_reduce=gram_reduce, iterations=ortho_iterations
     )

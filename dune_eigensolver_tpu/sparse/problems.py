@@ -28,12 +28,10 @@ def _dia(data: np.ndarray, offsets, n, dtype) -> DIAMatrix:
     )
 
 
-def laplacian_dirichlet_2d(N: int, dtype=np.float64) -> DIAMatrix:
-    """2D 5-point Laplacian on an N x N grid, lexicographic ordering.
-
-    Reference: get_laplacian_dirichlet (src/dune-eigensolver.cc:98-103),
-    which delegates to dune-istl's setupLaplacian (4 on diag, -1 neighbors).
-    """
+def _laplacian_dirichlet_2d_np(N: int):
+    """Assembly stays in numpy; jnp conversion happens only at the public
+    boundary (_dia) — composing builders must never round-trip through the
+    device (a device->host fetch can stall under forced multi-device CPU)."""
     n = N * N
     offsets = (-N, -1, 0, 1, N)
     data = np.zeros((5, n))
@@ -43,6 +41,16 @@ def laplacian_dirichlet_2d(N: int, dtype=np.float64) -> DIAMatrix:
     data[2] = 4.0
     data[3] = np.where(i % N != N - 1, -1.0, 0.0)  # +1
     data[4] = np.where(i < n - N, -1.0, 0.0)  # +N
+    return data, offsets, n
+
+
+def laplacian_dirichlet_2d(N: int, dtype=np.float64) -> DIAMatrix:
+    """2D 5-point Laplacian on an N x N grid, lexicographic ordering.
+
+    Reference: get_laplacian_dirichlet (src/dune-eigensolver.cc:98-103),
+    which delegates to dune-istl's setupLaplacian (4 on diag, -1 neighbors).
+    """
+    data, offsets, n = _laplacian_dirichlet_2d_np(N)
     return _dia(data, offsets, n, dtype)
 
 
@@ -51,12 +59,11 @@ def laplacian_neumann_2d(N: int, dtype=np.float64) -> DIAMatrix:
 
     Reference: get_laplacian_neumann (src/dune-eigensolver.cc:105-121).
     """
-    A = laplacian_dirichlet_2d(N, dtype=np.float64)
-    data = np.asarray(A.data).copy()
-    d0 = A.offsets.index(0)
+    data, offsets, n = _laplacian_dirichlet_2d_np(N)
+    d0 = offsets.index(0)
     off_sum = data.sum(axis=0) - data[d0]
     data[d0] = np.abs(off_sum)
-    return _dia(data, A.offsets, A.shape[0], dtype)
+    return _dia(data, offsets, n, dtype)
 
 
 def partition_of_unity_2d(N: int, overlap: int) -> np.ndarray:
@@ -81,16 +88,14 @@ def laplacian_b_2d(N: int, overlap: int, dtype=np.float64) -> DIAMatrix:
 
     Reference: get_laplacian_B (src/dune-eigensolver.cc:124-143).
     """
-    A = laplacian_dirichlet_2d(N, dtype=np.float64)
+    data, offsets, n = _laplacian_dirichlet_2d_np(N)
     pu = partition_of_unity_2d(N, overlap)
-    n = A.shape[0]
-    data = np.asarray(A.data).copy()
     i = np.arange(n)
-    for d, off in enumerate(A.offsets):
+    for d, off in enumerate(offsets):
         col = i + off
         pu_col = np.where((col >= 0) & (col < n), pu[np.clip(col, 0, n - 1)], 0.0)
         data[d] = data[d] * pu * pu_col
-    return _dia(data, A.offsets, n, dtype)
+    return _dia(data, offsets, n, dtype)
 
 
 def identity_on_pattern(A: DIAMatrix, dtype=None) -> DIAMatrix:

@@ -1,0 +1,90 @@
+"""Multi-chip paths on the simulated 8-device CPU mesh: halo-exchange SpMM
+equals the single-chip SpMM; sharded solvers equal the single-chip solvers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dune_eigensolver_tpu.dist import (
+    dia_spmm_halo,
+    make_mesh,
+    sharded_generalized_inverse,
+    sharded_standard_largest,
+)
+from dune_eigensolver_tpu.factorize.cg import cg_inverse_factory
+from dune_eigensolver_tpu.oracle import eigenvalues_laplace_dirichlet_2d
+from dune_eigensolver_tpu.solvers import generalized_inverse, standard_largest
+from dune_eigensolver_tpu.sparse import problems
+from dune_eigensolver_tpu.sparse.spmm import spmm
+
+
+def test_dia_spmm_halo_matches_single_chip(rng):
+    N = 16  # n = 256 = 8 * 32, halo 16 <= 32 local rows
+    A = problems.laplacian_dirichlet_2d(N)
+    n = A.shape[0]
+    X = jnp.asarray(rng.normal(size=(n, 8)))
+    ref = np.asarray(spmm(A, X))
+
+    mesh = make_mesh(8)
+    fn = jax.jit(
+        jax.shard_map(
+            lambda ad, x: dia_spmm_halo(ad, A.offsets, x),
+            mesh=mesh,
+            in_specs=(P(None, "rows"), P("rows", None)),
+            out_specs=P("rows", None),
+        )
+    )
+    Ad = jax.device_put(A.data, NamedSharding(mesh, P(None, "rows")))
+    Xs = jax.device_put(X, NamedSharding(mesh, P("rows", None)))
+    out = np.asarray(fn(Ad, Xs))
+    assert np.abs(out - ref).max() < 1e-12
+
+
+def test_halo_bandwidth_guard():
+    # n=64 over 8 shards -> nloc=8; a bandwidth-9 stencil must be rejected
+    mesh = make_mesh(8)
+    from dune_eigensolver_tpu.dist.sharded import dia_spmm_halo as f
+
+    with pytest.raises(ValueError):
+        jax.jit(
+            jax.shard_map(
+                lambda ad, x: f(ad, (-9, 0, 9), x),
+                mesh=mesh,
+                in_specs=(P(None, "rows"), P("rows", None)),
+                out_specs=P("rows", None),
+            )
+        )(jnp.zeros((3, 64)), jnp.zeros((64, 8)))
+
+
+def test_sharded_standard_largest_matches_single():
+    N = 16
+    A = problems.laplacian_dirichlet_2d(N)
+    res_s = sharded_standard_largest(A, nev=4, tol=1e-10, maxiter=2000, mesh=make_mesh(8))
+    res_1 = standard_largest(A, nev=4, tol=1e-10, maxiter=2000)
+    ana = eigenvalues_laplace_dirichlet_2d(N)[::-1][:4]
+    assert np.abs(np.asarray(res_s.eigenvalues) - ana).max() < 2e-3
+    assert (
+        np.abs(np.asarray(res_s.eigenvalues) - np.asarray(res_1.eigenvalues)).max()
+        < 1e-8
+    )
+
+
+def test_sharded_generalized_matches_single():
+    N, overlap, shift = 16, 3, 1e-3
+    A = problems.laplacian_neumann_2d(N)
+    B = problems.laplacian_b_2d(N, overlap)
+    res_s = sharded_generalized_inverse(
+        A, B, nev=4, tol=2e-3, maxiter=500, shift=shift,
+        mesh=make_mesh(8), cg_rtol=1e-10,
+    )
+    res_1 = generalized_inverse(
+        A, B, nev=4, tol=2e-3, maxiter=500, shift=shift,
+        inverse=cg_inverse_factory(rtol=1e-10, maxiter=2000),
+    )
+    assert (
+        np.abs(np.asarray(res_s.eigenvalues) - np.asarray(res_1.eigenvalues)).max()
+        < 1e-6
+    )
