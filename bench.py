@@ -109,29 +109,32 @@ def main():
 
     def aux():
         try:
-            from dune_eigensolver_tpu.factorize.cg import cg_inverse_factory
             from dune_eigensolver_tpu.solvers import generalized_inverse
 
             Ng = 256
             Ag = problems.laplacian_neumann_2d(Ng, dtype=dtype)
             Bg = problems.laplacian_b_2d(Ng, 3, dtype=dtype)
+            # default inverse = device block-banded direct solve; first call
+            # includes the one-time remote compile, second is steady-state
             t0 = time.perf_counter()
-            res = generalized_inverse(
-                Ag, Bg, nev=8, tol=2e-3, maxiter=200, shift=1e-3,
-                inverse=cg_inverse_factory(rtol=1e-4, maxiter=400),
-            )
+            res = generalized_inverse(Ag, Bg, nev=8, tol=2e-3, maxiter=200, shift=1e-3)
             ev = np.asarray(res.eigenvalues)
+            t_first = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            res = generalized_inverse(Ag, Bg, nev=8, tol=2e-3, maxiter=200, shift=1e-3)
+            jax.block_until_ready(res.eigenvalues)
             t_solve = time.perf_counter() - t0
             log(
-                f"generalized_inverse: n={Ag.shape[0]} nev=8 "
-                f"iters={int(res.iterations)} time={t_solve:.2f}s evals[:3]={ev[:3]}"
+                f"generalized_inverse[banded]: n={Ag.shape[0]} nev=8 "
+                f"iters={int(res.iterations)} time={t_solve:.2f}s "
+                f"(first incl compile {t_first:.1f}s) evals[:3]={ev[:3]}"
             )
         except Exception as e:  # aux must not break the primary line
             log(f"solver aux bench failed: {e!r}")
 
     th = threading.Thread(target=aux, daemon=True)
     th.start()
-    th.join(timeout=240)
+    th.join(timeout=420)
     if th.is_alive():
         log("solver aux bench timed out (tunnel hang); exiting with primary metric")
         os._exit(0)

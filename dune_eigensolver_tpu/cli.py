@@ -1,0 +1,422 @@
+"""Driver CLI: convergence-protocol tests and kernel benchmarks.
+
+TPU-native counterpart of the reference driver executable
+(src/dune-eigensolver.cc): the same test protocols, problem generators,
+greppable result lines, and INI + ``key=value`` configuration
+(ParameterTree, config.py). Tests:
+
+* ``largest``  — largest-eigenvalue convergence protocol (cc:620-730, the
+  test the reference ``main()`` runs at :777): oracle at 1e-14, oracle at
+  tol, ``standard_largest`` at tol, analytic 2D spectrum; result line
+  ``N_M_TOL_ESARERROR_ESANERROR_ARANERROR_TIMERATIO_ORACLEITER``.
+* ``smallest`` — smallest-eigenvalue convergence protocol (cc:528-617) on
+  the GenEO pair (Neumann A, partition-of-unity B) with
+  ``generalized_inverse``; line ``N_M_TOL_RASERROR_ARPERROR_TIMERATIO``.
+* ``eigenvalues`` — timing run dispatching on ``ev.method`` (cc:448-525):
+  'raes' -> generalized_inverse, 'arpack' -> scipy oracle, 'dist' ->
+  sharded multi-chip solve (new capability).
+* ``mgs``     — orthonormalization benchmark (cc:164-311) with the roofline
+  models of bench/models.py; line ``P_n_m_i_perfn_perfb_intensity``.
+* ``matvec``  — SpMM benchmark (cc:315-427); lines
+  ``RESULT <variant> <n> <nnz> <m> <GFLOPs> <GBs>``.
+
+Usage: ``python -m dune_eigensolver_tpu [ini-file] [sec.key=value ...]
+[--test largest|smallest|eigenvalues|mgs|matvec|all]``
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dune_eigensolver_tpu.config import ParameterTree
+
+
+def _log(ptree, level, *msg):
+    if int(ptree["ev.verbose"]) >= level:
+        print(*msg, flush=True)
+
+
+def _dtype(ptree):
+    return np.dtype(ptree["ev.dtype"])
+
+
+def _problem_pair(ptree):
+    """(A, B) for the generalized protocol: Neumann Laplacian + GenEO B
+    (reference cc:475-479)."""
+    from dune_eigensolver_tpu.sparse import problems
+
+    N = int(ptree["ev.N"])
+    overlap = int(ptree["ev.overlap"])
+    dt = _dtype(ptree)
+    if int(ptree["ev.dim"]) == 3:
+        A = problems.laplacian_dirichlet_3d(N, dtype=dt)
+        from dune_eigensolver_tpu.sparse.formats import DIAMatrix
+
+        B = problems.identity_on_pattern(A, dtype=dt)
+        return A, B
+    A = problems.laplacian_neumann_2d(N, dtype=dt)
+    B = problems.laplacian_b_2d(N, overlap, dtype=dt)
+    return A, B
+
+
+def _inverse_factory(ptree):
+    kind = str(ptree["ev.inverse"])
+    if kind in ("auto", "banded", "lu"):
+        return None  # solver default picks banded for DIA / host-LU otherwise
+    if kind == "cg":
+        from dune_eigensolver_tpu.factorize import cg_inverse_factory
+
+        return cg_inverse_factory(rtol=1e-4, maxiter=1000)
+    raise ValueError(f"unknown ev.inverse={kind!r}")
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    jax.block_until_ready(out)
+    return out, time.perf_counter() - t0
+
+
+# ---------------------------------------------------------------------------
+# Convergence protocols
+# ---------------------------------------------------------------------------
+
+
+def largest_eigenvalues_convergence_test(ptree) -> dict:
+    """Reference cc:620-730. Three-way comparison on the Dirichlet Laplacian:
+    scipy oracle @1e-14 (ground truth), oracle @tol, standard_largest @tol,
+    plus the closed-form spectrum."""
+    from dune_eigensolver_tpu.oracle.analytic import (
+        eigenvalues_laplace_dirichlet_2d,
+    )
+    from dune_eigensolver_tpu.oracle.scipy_oracle import largest_standard
+    from dune_eigensolver_tpu.solvers import standard_largest
+    from dune_eigensolver_tpu.sparse import problems
+
+    N = int(ptree["ev.N"])
+    nev = int(ptree["ev.m"])
+    tol = float(ptree["ev.tol"])
+    maxiter = int(ptree["ev.maxiter"])
+    seed = int(ptree["ev.seed"])
+    dt = _dtype(ptree)
+
+    A = problems.laplacian_dirichlet_2d(N, dtype=dt)
+    m = -(-nev // int(ptree["ev.block"])) * int(ptree["ev.block"])
+
+    t0 = time.perf_counter()
+    ev_oracle, _ = largest_standard(A, m, tol=1e-14)
+    t_oracle_hi = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    largest_standard(A, m, tol=tol)
+    t_oracle = time.perf_counter() - t0
+
+    res, t_es = _timed(
+        lambda: standard_largest(
+            A,
+            nev=m,
+            tol=tol,
+            maxiter=maxiter,
+            seed=seed,
+            block=int(ptree["ev.block"]),
+        )
+    )
+    ev_es = np.asarray(res.eigenvalues, dtype=np.float64)
+
+    ev_anal = eigenvalues_laplace_dirichlet_2d(N)[::-1][:m]  # descending
+
+    err_es_or = np.abs(ev_es - ev_oracle).max()
+    err_es_an = np.abs(ev_es - ev_anal).max()
+    err_or_an = np.abs(ev_oracle - ev_anal).max()
+    _log(ptree, 1, f"  eigensolver: {ev_es[:4]}")
+    _log(ptree, 1, f"  oracle     : {ev_oracle[:4]}")
+    _log(ptree, 1, f"  analytic   : {ev_anal[:4]}")
+    # greppable line mirroring N_M_TOL_... (reference cc:718-727)
+    print(
+        f"N_M_TOL_ESARERROR_ESANERROR_ARANERROR_TIMERATIO: "
+        f"{N} {m} {tol:.1e} {err_es_or:.3e} {err_es_an:.3e} {err_or_an:.3e} "
+        f"{t_es / max(t_oracle, 1e-12):.2f}",
+        flush=True,
+    )
+    return dict(
+        err_vs_oracle=float(err_es_or),
+        err_vs_analytic=float(err_es_an),
+        oracle_vs_analytic=float(err_or_an),
+        time=t_es,
+        time_oracle=t_oracle,
+        time_oracle_hi=t_oracle_hi,
+        iterations=int(res.iterations),
+    )
+
+
+def smallest_eigenvalues_convergence_test(ptree) -> dict:
+    """Reference cc:528-617: generalized protocol on the GenEO pair."""
+    from dune_eigensolver_tpu.oracle.scipy_oracle import smallest_generalized
+    from dune_eigensolver_tpu.solvers import generalized_inverse
+
+    nev = int(ptree["ev.m"])
+    tol = float(ptree["ev.tol"])
+    shift = float(ptree["ev.shift"])
+    reg = float(ptree["ev.regularization"])
+    maxiter = int(ptree["ev.maxiter"])
+    block = int(ptree["ev.block"])
+    m = -(-nev // block) * block
+    A, B = _problem_pair(ptree)
+
+    t0 = time.perf_counter()
+    ev_truth, _ = smallest_generalized(A, B, m, sigma=-shift, tol=1e-14)
+    t_truth = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ev_oracle, _ = smallest_generalized(A, B, m, sigma=-shift, tol=tol)
+    t_oracle = time.perf_counter() - t0
+
+    res, t_ras = _timed(
+        lambda: generalized_inverse(
+            A,
+            B,
+            nev=m,
+            tol=tol,
+            maxiter=maxiter,
+            shift=shift,
+            reg=reg,
+            block=block,
+            seed=int(ptree["ev.seed"]),
+            inverse=_inverse_factory(ptree),
+        )
+    )
+    ev_ras = np.asarray(res.eigenvalues, dtype=np.float64)
+
+    err_ras = np.abs(ev_ras - ev_truth).max()
+    err_arp = np.abs(ev_oracle - ev_truth).max()
+    _log(ptree, 1, f"  eigensolver: {ev_ras[:4]}")
+    _log(ptree, 1, f"  oracle     : {ev_truth[:4]}")
+    # reference line N_M_TOL_RASERROR_ARPERROR_TIMERATIO_ARPACKITER (cc:606)
+    print(
+        f"N_M_TOL_RASERROR_ARPERROR_TIMERATIO: "
+        f"{ptree['ev.N']} {m} {tol:.1e} {err_ras:.3e} {err_arp:.3e} "
+        f"{t_ras / max(t_oracle, 1e-12):.2f}",
+        flush=True,
+    )
+    return dict(
+        err_vs_truth=float(err_ras),
+        oracle_err=float(err_arp),
+        time=t_ras,
+        time_oracle=t_oracle,
+        time_truth=t_truth,
+        iterations=int(res.iterations),
+        converged=bool(res.converged),
+    )
+
+
+def eigenvalues_test(ptree) -> dict:
+    """Reference cc:448-525: timing run dispatching on ev.method."""
+    method = str(ptree["ev.method"])
+    nev = int(ptree["ev.m"])
+    block = int(ptree["ev.block"])
+    m = -(-nev // block) * block
+    A, B = _problem_pair(ptree)
+
+    if method in ("raes", "tpu"):
+        from dune_eigensolver_tpu.solvers import generalized_inverse
+
+        res, t = _timed(
+            lambda: generalized_inverse(
+                A,
+                B,
+                nev=m,
+                tol=float(ptree["ev.tol"]),
+                maxiter=int(ptree["ev.maxiter"]),
+                shift=float(ptree["ev.shift"]),
+                reg=float(ptree["ev.regularization"]),
+                block=block,
+                seed=int(ptree["ev.seed"]),
+                inverse=_inverse_factory(ptree),
+            )
+        )
+        ev = np.asarray(res.eigenvalues)
+        iters = int(res.iterations)
+    elif method == "dist":
+        from dune_eigensolver_tpu.dist import make_mesh, sharded_generalized_inverse
+
+        nd = int(ptree["parallel.ndevices"]) or len(jax.devices())
+        res, t = _timed(
+            lambda: sharded_generalized_inverse(
+                A,
+                B,
+                nev=m,
+                tol=float(ptree["ev.tol"]),
+                maxiter=int(ptree["ev.maxiter"]),
+                shift=float(ptree["ev.shift"]),
+                mesh=make_mesh(nd),
+                seed=int(ptree["ev.seed"]),
+            )
+        )
+        ev = np.asarray(res.eigenvalues)
+        iters = int(res.iterations)
+    elif method == "arpack":
+        from dune_eigensolver_tpu.oracle.scipy_oracle import smallest_generalized
+
+        t0 = time.perf_counter()
+        ev, _ = smallest_generalized(
+            A, B, m, sigma=-float(ptree["ev.shift"]), tol=float(ptree["ev.tol"])
+        )
+        t = time.perf_counter() - t0
+        iters = -1
+    else:
+        raise ValueError(f"unknown ev.method={method!r}")
+
+    _log(ptree, 1, f"  eigenvalues: {np.sort(ev)[:6]}")
+    print(
+        f"RESULT eigenvalues_test {method} N={ptree['ev.N']} m={m} "
+        f"iters={iters} time={t:.3f}s",
+        flush=True,
+    )
+    return dict(time=t, iterations=iters, eigenvalues=np.sort(ev)[:m])
+
+
+# ---------------------------------------------------------------------------
+# Kernel benchmarks
+# ---------------------------------------------------------------------------
+
+
+def _bench_op(fn, *args, n_iter: int, reps: int = 3) -> float:
+    """Best-of-reps time per application, amortized over n_iter chained
+    applications (tunnel-safe: one fetch per rep)."""
+    f = jax.jit(fn)
+    out = f(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = f(*args)
+        jax.block_until_ready(out)
+        best = min(best, (time.perf_counter() - t0) / n_iter)
+    return best
+
+
+def mgs_performance_test(ptree) -> dict:
+    """Reference cc:164-311: orthonormalization throughput, naive (block=1
+    column MGS) vs blocked (Cholesky-QR per block), with the roofline
+    models. Result line mirrors ``P_n_m_i_iblocked_perfn_perfb_perfv``."""
+    from dune_eigensolver_tpu.bench.models import (
+        bytes_orthonormalize_blocked,
+        bytes_orthonormalize_naive,
+        flops_orthonormalize,
+    )
+    from dune_eigensolver_tpu.ops.ortho import orthonormalize_blocked
+
+    n = 1 << int(ptree["mgs.n"])
+    m = int(ptree["mgs.m"])
+    n_iter = int(ptree["mgs.n_iter"])
+    dt = _dtype(ptree)
+    key = jax.random.PRNGKey(int(ptree["ev.seed"]))
+    X = jax.random.normal(key, (n, m), dtype=dt)
+
+    t_naive = _bench_op(lambda V: orthonormalize_blocked(V, block=1), X, n_iter=n_iter)
+    block = int(ptree["ev.block"])
+    t_blocked = _bench_op(
+        lambda V: orthonormalize_blocked(V, block=block), X, n_iter=n_iter
+    )
+
+    fl = flops_orthonormalize(n, m)
+    gf_n, gf_b = fl / t_naive / 1e9, fl / t_blocked / 1e9
+    int_n = fl / bytes_orthonormalize_naive(n, m, dt.itemsize)
+    int_b = fl / bytes_orthonormalize_blocked(n, m, block, dt.itemsize)
+    _log(ptree, 1, f"  naive:   {t_naive*1e6:.0f}us  {gf_n:.1f} GFLOP/s  AI={int_n:.2f}")
+    _log(ptree, 1, f"  blocked: {t_blocked*1e6:.0f}us  {gf_b:.1f} GFLOP/s  AI={int_b:.2f}")
+    print(
+        f"P_n_m_i_perfn_perfb: 1 {n} {m} {n_iter} {gf_n:.2f} {gf_b:.2f}",
+        flush=True,
+    )
+    return dict(gflops_naive=gf_n, gflops_blocked=gf_b)
+
+
+def matvec_performance_test(ptree) -> dict:
+    """Reference cc:315-427 (disabled there for lack of a generator; active
+    here): tall-skinny SpMM throughput, XLA vs Pallas DIA kernels."""
+    from dune_eigensolver_tpu.bench.models import bytes_spmm_dia, flops_spmm
+    from dune_eigensolver_tpu.kernels.dia_spmm import (
+        dia_spmm_t_pallas,
+        dia_spmm_t_xla,
+    )
+    from dune_eigensolver_tpu.sparse import problems
+    from dune_eigensolver_tpu.sparse.formats import DIAMatrix
+    from dune_eigensolver_tpu.sparse.spmm import spmm
+
+    N = int(ptree["ev.N"])
+    m = int(ptree["mv.m"])
+    dt = _dtype(ptree)
+    A = problems.laplacian_dirichlet_2d(N, dtype=dt)
+    A = DIAMatrix(data=A.data / 8.0, offsets=A.offsets, shape=A.shape)
+    n, nnz = A.shape[0], A.nnz
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(key, (n, m), dtype=dt)
+    Xt = jnp.asarray(X.T)
+
+    results = {}
+    variants = [("xla", lambda V: spmm(A, V), X)]
+    if m == 8:  # the transposed Pallas kernel is specialized to 8 RHS
+        variants += [
+            ("pallas_t", lambda V: dia_spmm_t_pallas(A, V), Xt),
+            ("xla_t", lambda V: dia_spmm_t_xla(A, V), Xt),
+        ]
+    for name, fn, arg in variants:
+        t = _bench_op(fn, arg, n_iter=20)
+        gf = flops_spmm(nnz, m) / t / 1e9
+        gb = bytes_spmm_dia(n, len(A.offsets), m, dt.itemsize) / t / 1e9
+        results[name] = gf
+        print(
+            f"RESULT {name} {n} {nnz} {m} {gf:.2f} GFLOP/s {gb:.1f} GB/s",
+            flush=True,
+        )
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+TESTS = {
+    "largest": largest_eigenvalues_convergence_test,
+    "smallest": smallest_eigenvalues_convergence_test,
+    "eigenvalues": eigenvalues_test,
+    "mgs": mgs_performance_test,
+    "matvec": matvec_performance_test,
+}
+
+
+def main(argv: Optional[list] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    test = "largest"  # the test the reference main() runs (cc:777)
+    if "--test" in argv:
+        i = argv.index("--test")
+        test = argv[i + 1]
+        del argv[i : i + 2]
+    ptree = ParameterTree()
+    if argv and "=" not in argv[0]:
+        ptree.read_ini(argv.pop(0))
+    ptree.read_cli(argv)
+
+    dev = jax.devices()[0]
+    _log(ptree, 1, f"device: {dev.device_kind} platform={dev.platform}")
+    _log(ptree, 2, repr(ptree))
+
+    names = list(TESTS) if test == "all" else [test]
+    for name in names:
+        if name not in TESTS:
+            print(f"unknown test {name!r}; choose from {sorted(TESTS)} or 'all'")
+            return 2
+        _log(ptree, 1, f"== {name} ==")
+        TESTS[name](ptree)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -68,6 +68,15 @@ def _chunk_schedule(
     Returns (rows, cols, vals, kmax): rows (nchunk, chunk) int32 with pad=n;
     cols/vals (nchunk, chunk, kmax) with pad col=n, pad val=0.
     """
+    try:
+        from dune_eigensolver_tpu.utils import native
+
+        sched = native.chunk_schedule(indptr, indices, data, n, chunk)
+        if sched is not None:
+            rows, cols, vals, kmax, _ = sched
+            return rows, cols, vals, kmax
+    except ImportError:
+        pass
     lev = _levels_from_csr(indptr, indices)
     order = np.argsort(lev, kind="stable")
     lev_sorted = lev[order]
@@ -263,12 +272,14 @@ def lu_solve(F: FactorizedMatrix, X: jax.Array) -> jax.Array:
 
 
 def lu_inverse_factory(A_sh, chunk: int = 512, **kw):
-    """Default ``inverse=`` factory for the solvers: factorize once on the
-    host, return the jittable device solve (reference: factorize once at
-    eigensolver.hh:156,256, apply every iteration)."""
+    """``inverse=`` factory for the solvers: factorize once on the host,
+    return the closure-free pair ``(F, fn)`` with ``fn(F, X) = A^-1 X``
+    (reference: factorize once at eigensolver.hh:156,256, apply every
+    iteration). The pair form keeps the gather tables out of XLA constants —
+    the solvers thread F through jit as an argument."""
     F = factorize(A_sh, chunk=chunk, **kw)
 
-    def solve(X):
-        return lu_solve(F, X).astype(X.dtype)
+    def solve(F_, X):
+        return lu_solve(F_, X).astype(X.dtype)
 
-    return solve
+    return F, solve

@@ -15,6 +15,11 @@ eigensolver.hh:204-351), the flagship solver (GenEO coarse-space setup):
 The reference's stopping test uses bitwise `&` at eigensolver.hh:323 (a bug
 that still forces >= 11 iterations because of the iter>10 clause); we use the
 intended logical AND with configurable ``min_iter`` defaulting to the same 10.
+
+Structurally the iteration runs in a module-level jitted core whose operands
+(A', B, factorization aux, Q0) are explicit arguments: on TPU, closing over a
+multi-hundred-MB factorization would embed it as an XLA constant in every
+trace (and on a tunneled TPU, ship it inside the compile RPC).
 """
 
 from __future__ import annotations
@@ -31,61 +36,21 @@ from dune_eigensolver_tpu.ops.ortho import (
     dot_products_diagonal,
 )
 from dune_eigensolver_tpu.solvers.result import EigenResult, sort_result
-from dune_eigensolver_tpu.solvers.standard import padded_width, random_multivector
+from dune_eigensolver_tpu.solvers.standard import (
+    normalize_inverse,
+    padded_width,
+    random_multivector,
+)
 from dune_eigensolver_tpu.sparse.spmm import spmm
 
 
-def generalized_inverse(
-    A,
-    B,
-    nev: int,
-    tol: float,
-    maxiter: int,
-    shift: float = 0.0,
-    reg: float = 0.0,
-    block: int = 8,
-    seed: int = 123,
-    min_iter: int = 10,
-    ortho_iterations: int = 1,
-    inverse: Optional[Callable] = None,
-    apply_a: Optional[Callable] = None,
-    apply_b: Optional[Callable] = None,
-    gram_reduce: Optional[Callable] = None,
-    q0: Optional[jax.Array] = None,
-    eval_shift: Optional[float] = None,
-    dtype=None,
-) -> EigenResult:
-    """Smallest-nev eigenpairs of ``A x = lambda B x``.
-
-    ``inverse``: factory mapping the shifted operator A' = A + shift*B +
-    reg*I to a jittable multi-RHS solve ``X -> A'^-1 X`` (host-LU trisolve by
-    default; CG for the matrix-free TPU path).
-
-    ``apply_a``/``apply_b``/``gram_reduce``/``q0`` let the distributed layer
-    inject halo-exchange SpMMs, a psum, and a pre-sharded start block. When a
-    caller pre-folds the shift into ``apply_a`` (sharded path), pass
-    ``shift=0`` and the original shift as ``eval_shift`` so the Rayleigh
-    quotients are un-shifted correctly (eigensolver.hh:311-312).
-    """
-    A_sh = A
-    if shift != 0.0:
-        A_sh = A_sh.axpy(shift, B)
-    if reg != 0.0:
-        A_sh = A_sh.with_shifted_diagonal(reg)
-    if inverse is None:
-        from dune_eigensolver_tpu.factorize.host_lu import lu_inverse_factory
-
-        inverse = lu_inverse_factory
-    apply_inv = inverse(A_sh)
-    if apply_a is None:
-        apply_a = lambda X: spmm(A_sh, X)
-    if apply_b is None:
-        apply_b = lambda X: spmm(B, X)
-
-    dtype = dtype or A.dtype
-    m = padded_width(nev, block)
-    shift_ = jnp.asarray(shift if eval_shift is None else eval_shift, dtype)
+def _gen_core(A_sh, B, inv_aux, Q0, hooks, cfg):
+    apply_a_h, apply_b_h, gram_reduce, inv_fn = hooks
+    nev, tol, maxiter, shift_eval, block, min_iter, ortho_iterations, dtype = cfg
+    apply_a = apply_a_h or (lambda X: spmm(A_sh, X))
+    apply_b = apply_b_h or (lambda X: spmm(B, X))
     reduce_ = gram_reduce or (lambda g: g)
+    shift_ = jnp.asarray(shift_eval, dtype)
     b_ortho = partial(
         b_orthonormalize_blocked,
         apply_b,
@@ -94,19 +59,14 @@ def generalized_inverse(
         iterations=ortho_iterations,
     )
 
-    Q = (
-        q0
-        if q0 is not None
-        else random_multivector(jax.random.PRNGKey(seed), A.shape[0], m, dtype)
-    )
-    Q, norm0 = b_ortho(Q)
+    Q, norm0 = b_ortho(Q0)
     sA = reduce_(dot_products_diagonal(apply_a(Q), Q))
     ra2 = sA - shift_
 
     def body(state):
         Q, ra2, it, _, _ = state
         Q2 = apply_b(Q)
-        Q1 = apply_inv(Q2)
+        Q1 = inv_fn(inv_aux, Q2)
         Q1, norm = b_ortho(Q1)
         sA = reduce_(dot_products_diagonal(apply_a(Q1), Q1))
         ra1 = sA - shift_
@@ -134,3 +94,80 @@ def generalized_inverse(
         criterion=relerror,
         ortho_monitor=norm,
     )
+
+
+_gen_core_jit = jax.jit(_gen_core, static_argnums=(4, 5))
+
+
+def generalized_inverse(
+    A,
+    B,
+    nev: int,
+    tol: float,
+    maxiter: int,
+    shift: float = 0.0,
+    reg: float = 0.0,
+    block: int = 8,
+    seed: int = 123,
+    min_iter: int = 10,
+    ortho_iterations: int = 1,
+    inverse: Optional[Callable] = None,
+    apply_a: Optional[Callable] = None,
+    apply_b: Optional[Callable] = None,
+    gram_reduce: Optional[Callable] = None,
+    q0: Optional[jax.Array] = None,
+    eval_shift: Optional[float] = None,
+    dtype=None,
+) -> EigenResult:
+    """Smallest-nev eigenpairs of ``A x = lambda B x``.
+
+    ``inverse``: factory mapping the shifted operator A' = A + shift*B +
+    reg*I to a multi-RHS solve. It may return either a plain callable
+    ``X -> A'^-1 X`` or a closure-free pair ``(aux, fn)`` with
+    ``fn(aux, X)`` (preferred on TPU — aux is threaded through jit as an
+    argument). Default: the block-banded partitioned-inverse direct solve for
+    DIA operands, host-LU gather trisolve otherwise; pass
+    ``cg_inverse_factory(...)`` for the matrix-free path (used by the
+    distributed layer).
+
+    ``apply_a``/``apply_b``/``gram_reduce``/``q0`` let the distributed layer
+    inject halo-exchange SpMMs, a psum, and a pre-sharded start block. When a
+    caller pre-folds the shift into ``apply_a`` (sharded path), pass
+    ``shift=0`` and the original shift as ``eval_shift`` so the Rayleigh
+    quotients are un-shifted correctly (eigensolver.hh:311-312).
+    """
+    A_sh = A
+    if shift != 0.0:
+        A_sh = A_sh.axpy(shift, B)
+    if reg != 0.0:
+        A_sh = A_sh.with_shifted_diagonal(reg)
+    if inverse is None:
+        from dune_eigensolver_tpu.factorize import default_inverse_factory
+
+        inverse = default_inverse_factory
+    inv_aux, inv_fn = normalize_inverse(inverse(A_sh))
+
+    dtype = dtype or A.dtype
+    m = padded_width(nev, block)
+    Q0 = (
+        q0
+        if q0 is not None
+        else random_multivector(jax.random.PRNGKey(seed), A.shape[0], m, dtype)
+    )
+    cfg = (
+        nev,
+        float(tol),
+        int(maxiter),
+        float(shift if eval_shift is None else eval_shift),
+        int(block),
+        int(min_iter),
+        int(ortho_iterations),
+        jnp.dtype(dtype),
+    )
+    hooks = (apply_a, apply_b, gram_reduce, inv_fn)
+    # custom hooks (dist layer) run inside an enclosing shard_map trace; call
+    # the core inline there. The default single-chip path goes through the
+    # cached jit with explicit operands.
+    if apply_a is None and apply_b is None and gram_reduce is None:
+        return _gen_core_jit(A_sh, B, inv_aux, Q0, hooks, cfg)
+    return _gen_core(None, None, inv_aux, Q0, hooks, cfg)

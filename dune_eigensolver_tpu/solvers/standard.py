@@ -6,8 +6,10 @@ Reference semantics: ``StandardLargest`` / ``StandardInverse``
 
 * functional: the reference shifts A in place (eigensolver.hh:59-66); we
   shift a copy of the diagonal.
-* the iteration runs under ``lax.while_loop`` so the whole solve is one XLA
-  computation (no host round-trips per iteration).
+* the iteration runs under ``lax.while_loop`` inside a module-level jitted
+  core whose operands are explicit arguments (a closure-captured operand
+  would be embedded as an XLA constant on every trace — fatal for the
+  multi-hundred-MB banded factorizations on TPU).
 * eigenpairs are returned sorted (descending for largest, ascending for
   smallest); the reference returns them in iteration order.
 """
@@ -40,45 +42,26 @@ def random_multivector(key, n: int, m: int, dtype) -> jax.Array:
     return jax.random.normal(key, (n, m), dtype=dtype)
 
 
-def standard_largest(
-    A,
-    nev: int,
-    tol: float,
-    maxiter: int,
-    shift: float = 0.0,
-    block: int = 8,
-    seed: int = 123,
-    ortho_iterations: int = 1,
-    apply_a: Optional[Callable] = None,
-    gram_reduce: Optional[Callable] = None,
-    q0: Optional[jax.Array] = None,
-    dtype=None,
-) -> EigenResult:
-    """Largest-nev eigenpairs of ``A x = lambda x`` by blocked orthogonal
-    iteration (reference StandardLargest, eigensolver.hh:28-112).
+def normalize_inverse(inv_result):
+    """Inverse factories may return a plain callable ``X -> A^-1 X`` or a
+    closure-free pair ``(aux, fn)`` with ``fn(aux, X)``. Normalize to the
+    pair form (aux goes through jit as a real argument)."""
+    if (
+        isinstance(inv_result, tuple)
+        and len(inv_result) == 2
+        and callable(inv_result[1])
+    ):
+        return inv_result
+    return None, (lambda _aux, X: inv_result(X))
 
-    Per iteration: Q2 = A' Q1; orthonormalize Q2; Rayleigh quotients via a
-    second SpMM + per-column dots; stop when max |lambda^k - lambda^{k-1}|
-    < tol (after at least 2 iterations), where A' = A + shift*I.
 
-    ``apply_a``/``gram_reduce``/``q0`` let the distributed layer inject a
-    halo-exchange SpMM, a psum, and a pre-sharded start block.
-    """
-    if apply_a is None:
-        A_sh = A.with_shifted_diagonal(shift) if shift != 0.0 else A
-        apply_a = lambda X: spmm(A_sh, X)
-    dtype = dtype or A.dtype
-    m = padded_width(nev, block)
+def _largest_core(A_sh, Q0, hooks, cfg):
+    apply_a_h, gram_reduce = hooks
+    nev, tol, maxiter, shift, block, ortho_iterations, dtype = cfg
+    apply_a = apply_a_h or (lambda X: spmm(A_sh, X))
+    reduce_ = gram_reduce or (lambda g: g)
     shift_ = jnp.asarray(shift, dtype)
-
-    Q = (
-        q0
-        if q0 is not None
-        else random_multivector(jax.random.PRNGKey(seed), A.shape[0], m, dtype)
-    )
-    Q = orthonormalize_blocked(
-        Q, block=block, gram_reduce=gram_reduce, iterations=ortho_iterations
-    )
+    m = Q0.shape[1]
 
     ortho = partial(
         orthonormalize_blocked,
@@ -86,7 +69,7 @@ def standard_largest(
         gram_reduce=gram_reduce,
         iterations=ortho_iterations,
     )
-    reduce_ = gram_reduce or (lambda g: g)
+    Q = ortho(Q0)
 
     def body(state):
         Q, s_prev, k, _ = state
@@ -117,7 +100,10 @@ def standard_largest(
     )
 
 
-def standard_inverse(
+_largest_core_jit = jax.jit(_largest_core, static_argnums=(2, 3))
+
+
+def standard_largest(
     A,
     nev: int,
     tol: float,
@@ -126,48 +112,64 @@ def standard_inverse(
     block: int = 8,
     seed: int = 123,
     ortho_iterations: int = 1,
-    inverse: Optional[Callable] = None,
+    apply_a: Optional[Callable] = None,
     gram_reduce: Optional[Callable] = None,
     q0: Optional[jax.Array] = None,
     dtype=None,
 ) -> EigenResult:
-    """Smallest-nev eigenpairs of ``A x = lambda x`` by shift-invert inverse
-    orthogonal iteration (reference StandardInverse, eigensolver.hh:116-198).
+    """Largest-nev eigenpairs of ``A x = lambda x`` by blocked orthogonal
+    iteration (reference StandardLargest, eigensolver.hh:28-112).
 
-    ``inverse``: factory mapping the shifted operator A' = A + shift*I to a
-    jittable multi-RHS solve ``X -> A'^-1 X``. Defaults to the host-LU +
-    level-scheduled device trisolve (factorize.host_lu). Pass
-    ``factorize.cg.cg_inverse_factory(...)`` for the matrix-free TPU path.
+    Per iteration: Q2 = A' Q1; orthonormalize Q2; Rayleigh quotients via a
+    second SpMM + per-column dots; stop when max |lambda^k - lambda^{k-1}|
+    < tol (after at least 2 iterations), where A' = A + shift*I.
+
+    ``apply_a``/``gram_reduce``/``q0`` let the distributed layer inject a
+    halo-exchange SpMM, a psum, and a pre-sharded start block.
     """
-    A_sh = A.with_shifted_diagonal(shift) if shift != 0.0 else A
-    if inverse is None:
-        from dune_eigensolver_tpu.factorize.host_lu import lu_inverse_factory
-
-        inverse = lu_inverse_factory
-    apply_inv = inverse(A_sh)
+    A_sh = None
+    if apply_a is None:
+        A_sh = A.with_shifted_diagonal(shift) if shift != 0.0 else A
     dtype = dtype or A.dtype
     m = padded_width(nev, block)
-    shift_ = jnp.asarray(shift, dtype)
-
-    Q = (
+    Q0 = (
         q0
         if q0 is not None
         else random_multivector(jax.random.PRNGKey(seed), A.shape[0], m, dtype)
     )
-    Q = orthonormalize_blocked(
-        Q, block=block, gram_reduce=gram_reduce, iterations=ortho_iterations
+    cfg = (
+        nev,
+        float(tol),
+        int(maxiter),
+        float(shift),
+        int(block),
+        int(ortho_iterations),
+        jnp.dtype(dtype),
     )
+    hooks = (apply_a, gram_reduce)
+    if apply_a is None and gram_reduce is None:
+        return _largest_core_jit(A_sh, Q0, hooks, cfg)
+    return _largest_core(A_sh, Q0, hooks, cfg)
+
+
+def _inverse_core(A_sh, inv_aux, Q0, hooks, cfg):
+    gram_reduce, inv_fn = hooks
+    nev, tol, maxiter, shift, block, ortho_iterations, dtype = cfg
+    reduce_ = gram_reduce or (lambda g: g)
+    shift_ = jnp.asarray(shift, dtype)
+    m = Q0.shape[1]
+
     ortho = partial(
         orthonormalize_blocked,
         block=block,
         gram_reduce=gram_reduce,
         iterations=ortho_iterations,
     )
-    reduce_ = gram_reduce or (lambda g: g)
+    Q = ortho(Q0)
 
     def body(state):
         Q, s_prev, k, _ = state
-        Q2 = ortho(apply_inv(Q))
+        Q2 = ortho(inv_fn(inv_aux, Q))
         AQ2 = spmm(A_sh, Q2)
         s = reduce_(dot_products_diagonal(Q2, AQ2)) - shift_
         distance = jnp.max(jnp.abs(s - s_prev))
@@ -190,3 +192,58 @@ def standard_inverse(
         criterion=distance,
         ortho_monitor=jnp.zeros((), dtype),
     )
+
+
+_inverse_core_jit = jax.jit(_inverse_core, static_argnums=(3, 4))
+
+
+def standard_inverse(
+    A,
+    nev: int,
+    tol: float,
+    maxiter: int,
+    shift: float = 0.0,
+    block: int = 8,
+    seed: int = 123,
+    ortho_iterations: int = 1,
+    inverse: Optional[Callable] = None,
+    gram_reduce: Optional[Callable] = None,
+    q0: Optional[jax.Array] = None,
+    dtype=None,
+) -> EigenResult:
+    """Smallest-nev eigenpairs of ``A x = lambda x`` by shift-invert inverse
+    orthogonal iteration (reference StandardInverse, eigensolver.hh:116-198).
+
+    ``inverse``: factory mapping the shifted operator A' = A + shift*I to a
+    multi-RHS solve; may return a plain callable or a closure-free
+    ``(aux, fn)`` pair (see normalize_inverse). Defaults to the block-banded
+    partitioned-inverse direct solve for DIA operands (factorize.banded) and
+    the host-LU gather trisolve otherwise (factorize.host_lu). Pass
+    ``factorize.cg.cg_inverse_factory(...)`` for the matrix-free TPU path.
+    """
+    A_sh = A.with_shifted_diagonal(shift) if shift != 0.0 else A
+    if inverse is None:
+        from dune_eigensolver_tpu.factorize import default_inverse_factory
+
+        inverse = default_inverse_factory
+    inv_aux, inv_fn = normalize_inverse(inverse(A_sh))
+    dtype = dtype or A.dtype
+    m = padded_width(nev, block)
+    Q0 = (
+        q0
+        if q0 is not None
+        else random_multivector(jax.random.PRNGKey(seed), A.shape[0], m, dtype)
+    )
+    cfg = (
+        nev,
+        float(tol),
+        int(maxiter),
+        float(shift),
+        int(block),
+        int(ortho_iterations),
+        jnp.dtype(dtype),
+    )
+    hooks = (gram_reduce, inv_fn)
+    if gram_reduce is None:
+        return _inverse_core_jit(A_sh, inv_aux, Q0, hooks, cfg)
+    return _inverse_core(A_sh, inv_aux, Q0, hooks, cfg)

@@ -1,0 +1,114 @@
+"""Config system (ParameterTree) and driver CLI protocols.
+
+Reference behaviors covered: INI + dotted-key CLI override semantics
+(src/dune-eigensolver.cc:751-754), the convergence-protocol result lines
+(cc:606-614, 718-727), and the method dispatch of eigenvalues_test
+(cc:448-525).
+"""
+
+import numpy as np
+import pytest
+
+from dune_eigensolver_tpu.config import DEFAULTS, ParameterTree
+
+
+def test_defaults_match_reference_ini():
+    pt = ParameterTree()
+    # values from src/dune-eigensolver.ini:13-31
+    assert pt["ev.N"] == 200
+    assert pt["ev.m"] == 4
+    assert pt["ev.maxiter"] == 4000
+    assert pt["ev.shift"] == 1e-3
+    assert pt["ev.tol"] == 2e-3
+    assert pt["ev.method"] == "raes"
+    assert pt["ev.seed"] == 123
+    assert pt["mgs.n"] == 20 and pt["mgs.m"] == 16 and pt["mgs.n_iter"] == 15
+    assert pt["parallel.numthreads"] == 1
+
+
+def test_cli_overrides():
+    pt = ParameterTree()
+    pt.read_cli(["ev.tol=1e-5", "ev.method=arpack", "grid.N=64", "ev.flag=true"])
+    assert pt["ev.tol"] == 1e-5
+    assert pt["ev.method"] == "arpack"
+    assert pt["grid.N"] == 64
+    assert pt["ev.flag"] is True
+    with pytest.raises(ValueError):
+        pt.read_cli(["notakeyvalue"])
+
+
+def test_ini_roundtrip(tmp_path):
+    pt = ParameterTree()
+    pt["ev.tol"] = 5e-4
+    ini = tmp_path / "t.ini"
+    ini.write_text("[ev]\ntol = 1e-6\nN = 48\n[extra]\nfoo = bar\n")
+    pt.read_ini(str(ini))
+    assert pt["ev.tol"] == 1e-6
+    assert pt["ev.N"] == 48
+    assert pt["extra.foo"] == "bar"
+
+
+def _small_ptree(**over):
+    pt = ParameterTree()
+    pt["ev.N"] = 24
+    pt["ev.verbose"] = 0
+    pt["ev.maxiter"] = 600
+    for k, v in over.items():
+        pt[k] = v
+    return pt
+
+
+def test_smallest_protocol(capsys):
+    from dune_eigensolver_tpu.cli import smallest_eigenvalues_convergence_test
+
+    out = smallest_eigenvalues_convergence_test(_small_ptree())
+    captured = capsys.readouterr().out
+    assert "N_M_TOL_RASERROR_ARPERROR_TIMERATIO:" in captured
+    assert out["err_vs_truth"] < 5e-3
+    assert out["converged"]
+
+
+def test_largest_protocol(capsys):
+    from dune_eigensolver_tpu.cli import largest_eigenvalues_convergence_test
+
+    out = largest_eigenvalues_convergence_test(_small_ptree(**{"ev.tol": 1e-6}))
+    captured = capsys.readouterr().out
+    assert "N_M_TOL_ESARERROR" in captured
+    # the oracle itself must agree with the analytic spectrum
+    assert out["oracle_vs_analytic"] < 1e-10
+    assert out["err_vs_analytic"] < 1e-2
+
+
+def test_eigenvalues_test_methods():
+    from dune_eigensolver_tpu.cli import eigenvalues_test
+
+    r1 = eigenvalues_test(_small_ptree())
+    r2 = eigenvalues_test(_small_ptree(**{"ev.method": "arpack"}))
+    np.testing.assert_allclose(
+        r1["eigenvalues"][:4], r2["eigenvalues"][:4], atol=2e-3
+    )
+
+
+def test_eigenvalues_test_dist():
+    from dune_eigensolver_tpu.cli import eigenvalues_test
+
+    pt = _small_ptree(**{"ev.method": "dist", "ev.N": 16, "parallel.ndevices": 4})
+    r = eigenvalues_test(pt)
+    assert np.isfinite(r["eigenvalues"]).all()
+
+
+def test_roofline_models():
+    from dune_eigensolver_tpu.bench import models
+
+    assert models.flops_spmm(100, 8) == 1600
+    # blocked ortho moves ~b times less prefix traffic than naive
+    bn = models.bytes_orthonormalize_naive(1 << 16, 64)
+    bb = models.bytes_orthonormalize_blocked(1 << 16, 64, 8)
+    assert bb < bn
+    ai_b = models.arithmetic_intensity(
+        models.flops_orthonormalize(1 << 16, 64), bb
+    )
+    ai_n = models.arithmetic_intensity(
+        models.flops_orthonormalize(1 << 16, 64), bn
+    )
+    assert ai_b > ai_n
