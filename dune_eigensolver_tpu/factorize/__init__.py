@@ -16,16 +16,23 @@ from dune_eigensolver_tpu.factorize.host_lu import (
 def default_inverse_factory(A_sh, **kw):
     """Pick the right shift-invert engine for the operand:
 
-    * DIA (banded) operators -> block-banded partitioned-inverse factors
-      solved by a scan of dense MXU matmuls (factorize.banded) — the
-      TPU-native direct path;
+    * DIA operators with moderate bandwidth (2D stencils: bw = N = sqrt(n))
+      -> block-banded partitioned-inverse factors solved by a scan of dense
+      MXU matmuls (factorize.banded) — the TPU-native direct path;
+    * DIA with wide bandwidth (3D stencils: bw = N^2) -> Jacobi-CG inverse
+      (factorize.cg) — band storage would be O(n * N^2) there, and 3D direct
+      factorizations fill catastrophically in any ordering;
     * anything else -> host SuperLU + chunk-scheduled gather trisolve
       (factorize.host_lu), the general fallback.
     """
+    from dune_eigensolver_tpu.factorize.banded import _DEVICE_BW_MAX
     from dune_eigensolver_tpu.sparse.formats import DIAMatrix
 
     if isinstance(A_sh, DIAMatrix):
-        return banded_inverse_factory(A_sh, **kw)
+        bw = max(abs(o) for o in A_sh.offsets)
+        if bw <= _DEVICE_BW_MAX:
+            return banded_inverse_factory(A_sh, **kw)
+        return cg_inverse_factory(rtol=1e-5, maxiter=2000)(A_sh)
     return lu_inverse_factory(A_sh, **kw)
 
 

@@ -1,10 +1,12 @@
-from dune_eigensolver_tpu.solvers.result import EigenResult
-from dune_eigensolver_tpu.solvers.standard import standard_largest, standard_inverse
+from dune_eigensolver_tpu.solvers.adaptive import generalized_inverse_adaptive
 from dune_eigensolver_tpu.solvers.generalized import generalized_inverse
+from dune_eigensolver_tpu.solvers.result import EigenResult
+from dune_eigensolver_tpu.solvers.standard import standard_inverse, standard_largest
 
 __all__ = [
     "EigenResult",
     "standard_largest",
     "standard_inverse",
     "generalized_inverse",
+    "generalized_inverse_adaptive",
 ]

@@ -1,0 +1,89 @@
+"""Adaptive GenEO eigenpair selection: grow nev until the spectrum is
+covered past a threshold.
+
+Reference: ``computeGenSymShiftInvertMinMagnitudeAdaptive``
+(arpack_geneo_wrapper.hh:661-774) — the GenEO coarse-space routine: solve
+for ``nev`` smallest eigenpairs of ``A x = lambda B x``; if the largest
+computed eigenvalue is still below ``threshold``, the coarse space may be
+incomplete, so grow nev by 1.3x and re-solve, until lambda_max >= threshold
+(every eigenvalue below the threshold is then certainly captured) or the cap
+is hit. Returns all computed pairs plus ``n_below``, the count the GenEO
+space actually uses.
+
+Each growth round re-solves from scratch like the reference (which re-enters
+ARPACK); rounds reuse the one factorization via the inverse factory.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from dune_eigensolver_tpu.solvers.generalized import generalized_inverse
+from dune_eigensolver_tpu.solvers.result import EigenResult
+
+
+def generalized_inverse_adaptive(
+    A,
+    B,
+    threshold: float,
+    nev: int = 8,
+    tol: float = 2e-3,
+    maxiter: int = 4000,
+    shift: float = 0.0,
+    reg: float = 0.0,
+    growth: float = 1.3,
+    nev_max: Optional[int] = None,
+    inverse: Optional[Callable] = None,
+    verbose: int = 0,
+    **solver_kw,
+):
+    """Smallest eigenpairs of ``A x = lambda B x`` until coverage past
+    ``threshold``. Returns ``(result, n_below)``.
+
+    ``nev_max`` caps the growth (default n/2). The factorization inside the
+    default ``inverse`` factory is rebuilt per round only because the
+    operator is fixed — pass an explicit factory to reuse one factorization
+    across rounds (built once here when ``inverse`` is None).
+    """
+    n = A.shape[0]
+    nev_max = nev_max or max(nev, n // 2)
+
+    if inverse is None:
+        from dune_eigensolver_tpu.factorize import default_inverse_factory
+
+        # factorize once, reuse across growth rounds (the reference refactors
+        # per call; ours is the better contract since A' is round-invariant)
+        A_sh = A
+        if shift != 0.0:
+            A_sh = A_sh.axpy(shift, B)
+        if reg != 0.0:
+            A_sh = A_sh.with_shifted_diagonal(reg)
+        prepared = default_inverse_factory(A_sh)
+        inverse = lambda _ignored: prepared
+
+    while True:
+        res = generalized_inverse(
+            A,
+            B,
+            nev=nev,
+            tol=tol,
+            maxiter=maxiter,
+            shift=shift,
+            reg=reg,
+            inverse=inverse,
+            **solver_kw,
+        )
+        evals = np.asarray(res.eigenvalues)
+        lam_max = float(evals.max())
+        n_below = int((evals < threshold).sum())
+        if verbose > 0:
+            print(
+                f"adaptive: nev={nev} lambda_max={lam_max:.3e} "
+                f"threshold={threshold:.3e} n_below={n_below}"
+            )
+        if lam_max >= threshold or nev >= nev_max:
+            return res, n_below
+        nev = min(max(int(np.ceil(nev * growth)), nev + 1), nev_max)

@@ -1,0 +1,55 @@
+"""Verbosity-tiered logging and wall-clock spans.
+
+The reference threads an integer ``verbose`` through every API and documents
+a 4-level scheme (arpack_geneo_wrapper.hh:407-414: 0 = silent, 1 = results,
+2 = per-iteration, 3+ = debug), timing spans with ``Dune::Timer``
+(eigensolver.hh:221,255-257,343-350). Same contract here, plus an optional
+JAX profiler trace around a span.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+
+class VLog:
+    """print-through logger gated on an integer verbosity level."""
+
+    def __init__(self, verbose: int = 0, prefix: str = ""):
+        self.verbose = int(verbose)
+        self.prefix = prefix
+
+    def __call__(self, level: int, *msg):
+        if self.verbose >= level:
+            print(self.prefix, *msg, flush=True) if self.prefix else print(
+                *msg, flush=True
+            )
+
+    @contextlib.contextmanager
+    def span(self, name: str, level: int = 1):
+        """Timed span: logs '<name>: <seconds>s' at the given level
+        (the Dune::Timer idiom)."""
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self(level, f"{name}: {time.perf_counter() - t0:.4f}s")
+
+
+@contextlib.contextmanager
+def profiler_trace(logdir: Optional[str]):
+    """jax.profiler trace context; no-op when logdir is falsy. View with
+    tensorboard/xprof. The TPU-native replacement for the reference's
+    wall-clock-only instrumentation (SURVEY.md §5)."""
+    if not logdir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
