@@ -383,12 +383,19 @@ def matvec_performance_test(ptree) -> dict:
 # Entry point
 # ---------------------------------------------------------------------------
 
+def _scaling_test(ptree):
+    from dune_eigensolver_tpu.bench.scaling import scaling_test
+
+    return scaling_test(ptree)
+
+
 TESTS = {
     "largest": largest_eigenvalues_convergence_test,
     "smallest": smallest_eigenvalues_convergence_test,
     "eigenvalues": eigenvalues_test,
     "mgs": mgs_performance_test,
     "matvec": matvec_performance_test,
+    "scaling": _scaling_test,
 }
 
 

@@ -4,6 +4,7 @@ from dune_eigensolver_tpu.dist.sharded import (
     halo_exchange,
     psum_reduce,
     sharded_generalized_inverse,
+    sharded_standard_inverse,
     sharded_standard_largest,
 )
 
@@ -14,5 +15,6 @@ __all__ = [
     "halo_exchange",
     "psum_reduce",
     "sharded_generalized_inverse",
+    "sharded_standard_inverse",
     "sharded_standard_largest",
 ]

@@ -147,6 +147,124 @@ def sharded_standard_largest(
     return fn(A_sh.data, Q0)
 
 
+def sharded_standard_inverse(
+    A: DIAMatrix,
+    nev: int,
+    tol: float,
+    maxiter: int,
+    shift: float = 0.0,
+    mesh: Optional[Mesh] = None,
+    block: int = 8,
+    seed: int = 123,
+    ortho_iterations: int = 1,
+    cg_rtol: float = 1e-6,
+    cg_maxiter: int = 2000,
+    axis: str = ROW_AXIS,
+):
+    """Multi-chip standard_inverse: smallest eigenpairs via shift-invert with
+    the matrix-free CG inverse (fully local SpMM + psum dots). The direct
+    banded solve stays single-chip — its block recursion is sequential
+    across shards, so the distributed inverse is Krylov by design."""
+    from dune_eigensolver_tpu.factorize.cg import cg_solve
+    from dune_eigensolver_tpu.solvers.standard import padded_width, random_multivector
+
+    mesh = mesh or make_mesh(axis=axis)
+    n = A.shape[0]
+    _check_divisible(n, mesh)
+    A_sh = A.with_shifted_diagonal(shift) if shift != 0.0 else A
+    A_shd = _shard_dia(A_sh, mesh, axis)
+    m = padded_width(nev, block)
+    Q0 = random_multivector(jax.random.PRNGKey(seed), n, m, A.dtype)
+    Q0 = jax.device_put(Q0, NamedSharding(mesh, P(axis, None)))
+    reduce_ = psum_reduce(axis)
+
+    def local_solver(adata, q0):
+        apply_a = partial(dia_spmm_halo, adata, A.offsets, axis=axis)
+        diag_local = adata[A.offsets.index(0)]
+
+        def inv_fn(_aux, X):
+            Y, _ = cg_solve(
+                apply_a,
+                X,
+                diag=diag_local,
+                rtol=cg_rtol,
+                maxiter=cg_maxiter,
+                gram_reduce=reduce_,
+            )
+            return Y
+
+        cfg = (
+            nev,
+            float(tol),
+            int(maxiter),
+            float(shift),
+            int(block),
+            int(ortho_iterations),
+            jnp.dtype(A.dtype),
+        )
+        return _sharded_inverse_core(apply_a, inv_fn, q0, reduce_, cfg)
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_solver,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(axis, None)),
+            out_specs=_result_specs(axis),
+        )
+    )
+    return fn(A_shd.data, Q0)
+
+
+def _sharded_inverse_core(apply_a, inv_fn, Q0, gram_reduce, cfg):
+    """standard_inverse iteration with a caller-supplied operator
+    application for the Rayleigh quotients (row-sharded SpMM needs the halo
+    exchange, not a local-slice spmm)."""
+    from functools import partial as _partial
+
+    from dune_eigensolver_tpu.ops.ortho import (
+        dot_products_diagonal,
+        orthonormalize_blocked,
+    )
+    from dune_eigensolver_tpu.solvers.result import EigenResult, sort_result
+
+    nev, tol, maxiter, shift, block, ortho_iterations, dtype = cfg
+    shift_ = jnp.asarray(shift, dtype)
+    m = Q0.shape[1]
+    ortho = _partial(
+        orthonormalize_blocked,
+        block=block,
+        gram_reduce=gram_reduce,
+        iterations=ortho_iterations,
+    )
+    Q = ortho(Q0)
+
+    def body(state):
+        Q, s_prev, k, _ = state
+        Q2 = ortho(inv_fn(None, Q))
+        AQ2 = apply_a(Q2)
+        s = gram_reduce(dot_products_diagonal(Q2, AQ2)) - shift_
+        distance = jnp.max(jnp.abs(s - s_prev))
+        return Q2, s, k + 1, distance
+
+    def cond(state):
+        _, _, k, distance = state
+        return (k < maxiter) & ((k < 2) | (distance >= tol))
+
+    s0 = jnp.zeros((m,), dtype)
+    Q, s, k, distance = lax.while_loop(
+        cond, body, (Q, s0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype))
+    )
+    evals, evecs = sort_result(s, Q, nev, descending=False)
+    return EigenResult(
+        eigenvalues=evals,
+        eigenvectors=evecs,
+        iterations=k,
+        converged=distance < tol,
+        criterion=distance,
+        ortho_monitor=jnp.zeros((), dtype),
+    )
+
+
 def sharded_generalized_inverse(
     A: DIAMatrix,
     B: DIAMatrix,

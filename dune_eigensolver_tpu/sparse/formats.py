@@ -136,6 +136,32 @@ class ELLMatrix:
     def dtype(self):
         return self.data.dtype
 
+    def _diag_masks(self):
+        n = self.shape[0]
+        on_diag = self.cols == jnp.arange(n, dtype=self.cols.dtype)[:, None]
+        # padding slots reuse the row's own column index, so restrict shifts
+        # to the FIRST on-diagonal slot per row (real entries sort first)
+        first = on_diag & (jnp.cumsum(on_diag, axis=1) == 1)
+        return on_diag, first
+
+    def diagonal(self) -> jax.Array:
+        on_diag, _ = self._diag_masks()
+        return jnp.sum(jnp.where(on_diag, self.data, 0), axis=1)
+
+    def with_shifted_diagonal(self, shift) -> "ELLMatrix":
+        """A + shift*I (functional; reference shifts in place,
+        eigensolver.hh:59-66). Rows lacking a diagonal entry get one in their
+        first padding slot."""
+        _, first = self._diag_masks()
+        data = self.data + jnp.asarray(shift, self.dtype) * first.astype(self.dtype)
+        return ELLMatrix(data=data, cols=self.cols, shape=self.shape, nnz=self.nnz)
+
+    def axpy(self, alpha, other) -> "ELLMatrix":
+        """self + alpha*other (host-side setup op, like the reference's
+        A.axpy(shift, B) before factorization, eigensolver.hh:241-242)."""
+        S = self.to_scipy() + float(alpha) * other.to_scipy()
+        return ell_from_scipy(S, dtype=self.dtype, k=self.k)
+
     def to_scipy(self):
         import scipy.sparse as sp
 
@@ -171,6 +197,43 @@ class BSRMatrix:
     @property
     def dtype(self):
         return self.bdata.dtype
+
+    def _diag_masks(self):
+        on_diag = self.bcols == jnp.arange(self.nbr, dtype=self.bcols.dtype)[:, None]
+        first = on_diag & (jnp.cumsum(on_diag, axis=1) == 1)
+        return on_diag, first
+
+    def diagonal(self) -> jax.Array:
+        """Scalar diagonal of the blocked operator (requires br == bc)."""
+        br, bc = self.block
+        if br != bc:
+            raise ValueError("diagonal: needs square blocks")
+        on_diag, _ = self._diag_masks()
+        dblocks = jnp.sum(
+            jnp.where(on_diag[..., None, None], self.bdata, 0), axis=1
+        )  # (nbr, br, br)
+        return jax.vmap(jnp.diag)(dblocks).reshape(-1)
+
+    def with_shifted_diagonal(self, shift) -> "BSRMatrix":
+        br, bc = self.block
+        if br != bc:
+            raise ValueError("with_shifted_diagonal: needs square blocks")
+        _, first = self._diag_masks()
+        eye = jnp.eye(br, dtype=self.dtype)
+        bdata = self.bdata + (
+            jnp.asarray(shift, self.dtype)
+            * first[..., None, None].astype(self.dtype)
+            * eye
+        )
+        return BSRMatrix(
+            bdata=bdata, bcols=self.bcols, shape=self.shape, block=self.block,
+            nnz=self.nnz,
+        )
+
+    def axpy(self, alpha, other) -> "BSRMatrix":
+        """self + alpha*other (host-side setup op)."""
+        S = self.to_scipy() + float(alpha) * other.to_scipy()
+        return bsr_from_scipy(S, block=self.block, dtype=self.dtype)
 
     def to_scipy(self):
         import scipy.sparse as sp
