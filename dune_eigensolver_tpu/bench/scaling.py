@@ -54,13 +54,8 @@ def weak_scaling_spmm(
         # disabled matvec benchmark wanted, src/dune-eigensolver.cc:421-425):
         # constant per-device work, and the halo exchange still runs at every
         # strip boundary (the exchanged rows multiply zero coefficients).
-        N = Nloc
-        A = problems.laplacian_dirichlet_2d(N, dtype=dtype)
         n = rows_per_device * p
-        data = jnp.tile(A.data, (1, p))[:, :n]
-        from dune_eigensolver_tpu.sparse.formats import DIAMatrix
-
-        Ap = DIAMatrix(data=data, offsets=A.offsets, shape=(n, n))
+        Ap = problems.laplacian_islands_2d(Nloc, p, dtype=dtype)
         mesh = make_mesh(p)
         A_sh = _shard_dia(Ap, mesh, ROW_AXIS)
         X = jax.device_put(

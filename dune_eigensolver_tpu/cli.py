@@ -362,7 +362,7 @@ def matvec_performance_test(ptree) -> dict:
 
     results = {}
     variants = [("xla", lambda V: spmm(A, V), X)]
-    if m == 8:  # the transposed Pallas kernel is specialized to 8 RHS
+    if m % 8 == 0:  # transposed kernels want whole f32 sublane groups
         variants += [
             ("pallas_t", lambda V: dia_spmm_t_pallas(A, V), Xt),
             ("xla_t", lambda V: dia_spmm_t_xla(A, V), Xt),

@@ -56,10 +56,16 @@ def dia_spmm_halo(
     x_local: jax.Array,
     axis: str = ROW_AXIS,
 ) -> jax.Array:
-    """Local rows of ``A @ X`` for a row-sharded DIA matrix.
+    """Local rows of ``A @ X`` for a row-sharded DIA matrix, structured for
+    communication/compute overlap.
 
     data_local: (ndiag, nloc) — this shard's rows of every diagonal.
     x_local: (nloc, m). Requires halo = max|offset| <= nloc.
+
+    The interior FMA sweep consumes only local rows (halo positions read
+    zero padding), so it has no data dependence on the ``ppermute`` results;
+    XLA's latency-hiding scheduler can run the collective concurrently.
+    Only the O(halo) edge-correction rows wait on the neighbors.
     """
     nloc, m = x_local.shape
     halo = max((abs(o) for o in offsets), default=0)
@@ -68,11 +74,35 @@ def dia_spmm_halo(
             f"dia_spmm_halo: bandwidth {halo} exceeds local rows {nloc}; "
             "use fewer shards or a wider partition"
         )
-    x_ext = halo_exchange(x_local, halo, axis) if halo else x_local
+    if halo == 0:
+        return data_local[0][:, None] * x_local
+
+    ndev = lax.axis_size(axis)
+    if ndev > 1:  # launch the exchange first; nothing below consumes it yet
+        fwd = [(i, i + 1) for i in range(ndev - 1)]
+        bwd = [(i + 1, i) for i in range(ndev - 1)]
+        from_left = lax.ppermute(x_local[-halo:], axis, fwd)
+        from_right = lax.ppermute(x_local[:halo], axis, bwd)
+
+    # interior sweep on zero-padded local rows (overlappable with the halos)
+    Xp = jnp.pad(x_local, ((halo, halo), (0, 0)))
     acc = jnp.zeros_like(x_local)
     for d, off in enumerate(offsets):
-        shifted = lax.slice(x_ext, (halo + off, 0), (halo + off + nloc, m))
+        shifted = lax.slice(Xp, (halo + off, 0), (halo + off + nloc, m))
         acc = acc + data_local[d][:, None] * shifted
+
+    if ndev > 1:
+        # edge corrections: the first/last |off| rows of each off-diagonal
+        # read neighbor rows. All slices are static.
+        for d, off in enumerate(offsets):
+            if off < 0:
+                acc = acc.at[: -off].add(
+                    data_local[d][:-off, None] * from_left[halo + off :]
+                )
+            elif off > 0:
+                acc = acc.at[nloc - off :].add(
+                    data_local[d][nloc - off :, None] * from_right[:off]
+                )
     return acc
 
 

@@ -36,7 +36,20 @@ def default_inverse_factory(A_sh, **kw):
     return lu_inverse_factory(A_sh, **kw)
 
 
+def solve_linear_system(A, b):
+    """Single-RHS sanity solve through the default engine ("just to check if
+    it works", umfpacktools.hh:222-223 / :223-265). Returns x with A x = b."""
+    import jax.numpy as jnp
+
+    from dune_eigensolver_tpu.solvers.standard import normalize_inverse
+
+    aux, fn = normalize_inverse(default_inverse_factory(A))
+    x = fn(aux, jnp.asarray(b).reshape(-1, 1))
+    return x[:, 0]
+
+
 __all__ = [
+    "solve_linear_system",
     "BandedFactorization",
     "banded_inverse_factory",
     "banded_solve",

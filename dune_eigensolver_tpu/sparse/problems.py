@@ -110,6 +110,18 @@ def identity_on_pattern(A: DIAMatrix, dtype=None) -> DIAMatrix:
     return _dia(data, A.offsets, n, dtype)
 
 
+def laplacian_islands_2d(N: int, islands: int, dtype=np.float64) -> DIAMatrix:
+    """``islands`` decoupled N x N Dirichlet Laplacians in one operator.
+
+    The matrix the reference's disabled SpMM benchmark calls for ("islands
+    matrix", src/dune-eigensolver.cc:421-425): constant per-partition work
+    with no cross-partition coupling — ideal for weak-scaling measurements.
+    """
+    data, offsets, n = _laplacian_dirichlet_2d_np(N)
+    tiled = np.tile(data, (1, islands))
+    return _dia(tiled, offsets, n * islands, dtype)
+
+
 def laplacian_dirichlet_3d(N: int, dtype=np.float32) -> DIAMatrix:
     """3D 7-point Laplacian on an N^3 grid (north-star problem, BASELINE.md)."""
     n = N * N * N
