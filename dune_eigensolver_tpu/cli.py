@@ -125,6 +125,7 @@ def largest_eigenvalues_convergence_test(ptree) -> dict:
             maxiter=maxiter,
             seed=seed,
             block=int(ptree["ev.block"]),
+            rayleigh_ritz=bool(ptree.get("ev.rr", False)),
         )
     )
     ev_es = np.asarray(res.eigenvalues, dtype=np.float64)
@@ -188,6 +189,7 @@ def smallest_eigenvalues_convergence_test(ptree) -> dict:
             block=block,
             seed=int(ptree["ev.seed"]),
             inverse=_inverse_factory(ptree),
+            rayleigh_ritz=bool(ptree.get("ev.rr", False)),
         )
     )
     ev_ras = np.asarray(res.eigenvalues, dtype=np.float64)
@@ -237,6 +239,7 @@ def eigenvalues_test(ptree) -> dict:
                 block=block,
                 seed=int(ptree["ev.seed"]),
                 inverse=_inverse_factory(ptree),
+                rayleigh_ritz=bool(ptree.get("ev.rr", False)),
             )
         )
         ev = np.asarray(res.eigenvalues)

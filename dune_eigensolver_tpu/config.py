@@ -37,6 +37,7 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         "inverse": "auto",  # auto | banded | cg | lu
         "block": 8,
         "dim": 2,  # 2 -> N x N grid, 3 -> N^3 grid
+        "rr": False,  # Rayleigh-Ritz rotation (beyond-reference accelerator)
     },
     "parallel": {"numthreads": 1, "ndevices": 0},  # 0 = all visible devices
     "mgs": {"n": 20, "m": 16, "n_iter": 15},

@@ -46,7 +46,17 @@ from dune_eigensolver_tpu.sparse.spmm import spmm
 
 def _gen_core(A_sh, B, inv_aux, Q0, hooks, cfg):
     apply_a_h, apply_b_h, gram_reduce, inv_fn = hooks
-    nev, tol, maxiter, shift_eval, block, min_iter, ortho_iterations, dtype = cfg
+    (
+        nev,
+        tol,
+        maxiter,
+        shift_eval,
+        block,
+        min_iter,
+        ortho_iterations,
+        rayleigh_ritz,
+        dtype,
+    ) = cfg
     apply_a = apply_a_h or (lambda X: spmm(A_sh, X))
     apply_b = apply_b_h or (lambda X: spmm(B, X))
     reduce_ = gram_reduce or (lambda g: g)
@@ -59,17 +69,29 @@ def _gen_core(A_sh, B, inv_aux, Q0, hooks, cfg):
         iterations=ortho_iterations,
     )
 
+    def rayleigh(Q):
+        """Ritz values (and rotated Q). With rayleigh_ritz the m x m
+        projected problem Q^T A Q (B-orthonormal Q) is diagonalized and Q is
+        rotated into the Ritz basis — beyond the reference's per-column
+        quotients (eigensolver.hh:308-312), converging per-vector at the
+        subspace-iteration rate instead of the coupled block rate."""
+        AQ = apply_a(Q)
+        if not rayleigh_ritz:
+            return reduce_(dot_products_diagonal(AQ, Q)) - shift_, Q
+        G = reduce_(jnp.dot(AQ.T, Q, precision=jax.lax.Precision.HIGHEST))
+        G = 0.5 * (G + G.T)
+        lam, V = jnp.linalg.eigh(G)
+        return lam - shift_, jnp.dot(Q, V, precision=jax.lax.Precision.HIGHEST)
+
     Q, norm0 = b_ortho(Q0)
-    sA = reduce_(dot_products_diagonal(apply_a(Q), Q))
-    ra2 = sA - shift_
+    ra2, Q = rayleigh(Q)
 
     def body(state):
         Q, ra2, it, _, _ = state
         Q2 = apply_b(Q)
         Q1 = inv_fn(inv_aux, Q2)
         Q1, norm = b_ortho(Q1)
-        sA = reduce_(dot_products_diagonal(apply_a(Q1), Q1))
-        ra1 = sA - shift_
+        ra1, Q1 = rayleigh(Q1)
         relerror = jnp.max(jnp.abs(ra1 - ra2)) / jnp.max(ra1)
         return Q1, ra1, it + 1, relerror, norm
 
@@ -111,6 +133,7 @@ def generalized_inverse(
     seed: int = 123,
     min_iter: int = 10,
     ortho_iterations: int = 1,
+    rayleigh_ritz: bool = False,
     inverse: Optional[Callable] = None,
     apply_a: Optional[Callable] = None,
     apply_b: Optional[Callable] = None,
@@ -162,6 +185,7 @@ def generalized_inverse(
         int(block),
         int(min_iter),
         int(ortho_iterations),
+        bool(rayleigh_ritz),
         jnp.dtype(dtype),
     )
     hooks = (apply_a, apply_b, gram_reduce, inv_fn)

@@ -55,9 +55,23 @@ def normalize_inverse(inv_result):
     return None, (lambda _aux, X: inv_result(X))
 
 
+def _ritz(reduce_, rayleigh_ritz, Q, AQ, shift_):
+    """Ritz values (and rotated Q). rayleigh_ritz=False reproduces the
+    reference's per-column Rayleigh quotients (eigensolver.hh:84-85);
+    True diagonalizes the m x m projected operator and rotates Q into the
+    Ritz basis — faster per-vector convergence for one tiny eigh + one
+    (n, m) @ (m, m) MXU rotation."""
+    if not rayleigh_ritz:
+        return reduce_(dot_products_diagonal(Q, AQ)) - shift_, Q
+    G = reduce_(jnp.dot(AQ.T, Q, precision=jax.lax.Precision.HIGHEST))
+    G = 0.5 * (G + G.T)
+    lam, V = jnp.linalg.eigh(G)
+    return lam - shift_, jnp.dot(Q, V, precision=jax.lax.Precision.HIGHEST)
+
+
 def _largest_core(A_sh, Q0, hooks, cfg):
     apply_a_h, gram_reduce = hooks
-    nev, tol, maxiter, shift, block, ortho_iterations, dtype = cfg
+    nev, tol, maxiter, shift, block, ortho_iterations, rayleigh_ritz, dtype = cfg
     apply_a = apply_a_h or (lambda X: spmm(A_sh, X))
     reduce_ = gram_reduce or (lambda g: g)
     shift_ = jnp.asarray(shift, dtype)
@@ -75,7 +89,7 @@ def _largest_core(A_sh, Q0, hooks, cfg):
         Q, s_prev, k, _ = state
         Q2 = ortho(apply_a(Q))
         AQ2 = apply_a(Q2)
-        s = reduce_(dot_products_diagonal(Q2, AQ2)) - shift_
+        s, Q2 = _ritz(reduce_, rayleigh_ritz, Q2, AQ2, shift_)
         distance = jnp.max(jnp.abs(s - s_prev))
         return Q2, s, k + 1, distance
 
@@ -112,6 +126,7 @@ def standard_largest(
     block: int = 8,
     seed: int = 123,
     ortho_iterations: int = 1,
+    rayleigh_ritz: bool = False,
     apply_a: Optional[Callable] = None,
     gram_reduce: Optional[Callable] = None,
     q0: Optional[jax.Array] = None,
@@ -144,6 +159,7 @@ def standard_largest(
         float(shift),
         int(block),
         int(ortho_iterations),
+        bool(rayleigh_ritz),
         jnp.dtype(dtype),
     )
     hooks = (apply_a, gram_reduce)
@@ -154,7 +170,7 @@ def standard_largest(
 
 def _inverse_core(A_sh, inv_aux, Q0, hooks, cfg):
     gram_reduce, inv_fn = hooks
-    nev, tol, maxiter, shift, block, ortho_iterations, dtype = cfg
+    nev, tol, maxiter, shift, block, ortho_iterations, rayleigh_ritz, dtype = cfg
     reduce_ = gram_reduce or (lambda g: g)
     shift_ = jnp.asarray(shift, dtype)
     m = Q0.shape[1]
@@ -171,7 +187,7 @@ def _inverse_core(A_sh, inv_aux, Q0, hooks, cfg):
         Q, s_prev, k, _ = state
         Q2 = ortho(inv_fn(inv_aux, Q))
         AQ2 = spmm(A_sh, Q2)
-        s = reduce_(dot_products_diagonal(Q2, AQ2)) - shift_
+        s, Q2 = _ritz(reduce_, rayleigh_ritz, Q2, AQ2, shift_)
         distance = jnp.max(jnp.abs(s - s_prev))
         return Q2, s, k + 1, distance
 
@@ -206,6 +222,7 @@ def standard_inverse(
     block: int = 8,
     seed: int = 123,
     ortho_iterations: int = 1,
+    rayleigh_ritz: bool = False,
     inverse: Optional[Callable] = None,
     gram_reduce: Optional[Callable] = None,
     q0: Optional[jax.Array] = None,
@@ -241,6 +258,7 @@ def standard_inverse(
         float(shift),
         int(block),
         int(ortho_iterations),
+        bool(rayleigh_ritz),
         jnp.dtype(dtype),
     )
     hooks = (gram_reduce, inv_fn)
