@@ -419,12 +419,17 @@ def main(argv: Optional[list] = None) -> int:
     _log(ptree, 2, repr(ptree))
 
     names = list(TESTS) if test == "all" else [test]
-    for name in names:
-        if name not in TESTS:
-            print(f"unknown test {name!r}; choose from {sorted(TESTS)} or 'all'")
-            return 2
-        _log(ptree, 1, f"== {name} ==")
-        TESTS[name](ptree)
+    from dune_eigensolver_tpu.utils.vlog import profiler_trace
+
+    with profiler_trace(ptree.get("ev.profile_dir")):
+        for name in names:
+            if name not in TESTS:
+                print(
+                    f"unknown test {name!r}; choose from {sorted(TESTS)} or 'all'"
+                )
+                return 2
+            _log(ptree, 1, f"== {name} ==")
+            TESTS[name](ptree)
     return 0
 
 

@@ -1,4 +1,4 @@
-from dune_eigensolver_tpu.dist.mesh import ROW_AXIS, make_mesh
+from dune_eigensolver_tpu.dist.mesh import ROW_AXIS, init_distributed, make_mesh
 from dune_eigensolver_tpu.dist.sharded import (
     dia_spmm_halo,
     halo_exchange,
@@ -11,6 +11,7 @@ from dune_eigensolver_tpu.dist.sharded import (
 __all__ = [
     "ROW_AXIS",
     "make_mesh",
+    "init_distributed",
     "dia_spmm_halo",
     "halo_exchange",
     "psum_reduce",
