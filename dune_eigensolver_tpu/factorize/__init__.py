@@ -22,10 +22,12 @@ def default_inverse_factory(A_sh, **kw):
     * DIA with wide bandwidth (3D stencils: bw = N^2) -> Jacobi-CG inverse
       (factorize.cg) — band storage would be O(n * N^2) there, and 3D direct
       factorizations fill catastrophically in any ordering;
-    * anything else -> host SuperLU + chunk-scheduled gather trisolve
-      (factorize.host_lu), the general fallback.
+    * other formats -> reverse-Cuthill-McKee bandwidth reduction + the same
+      banded engine (factorize.reordered); if RCM cannot confine the band,
+      Jacobi-CG.
     """
     from dune_eigensolver_tpu.factorize.banded import _DEVICE_BW_MAX
+    from dune_eigensolver_tpu.factorize.reordered import rcm_banded_inverse_factory
     from dune_eigensolver_tpu.sparse.formats import DIAMatrix
 
     if isinstance(A_sh, DIAMatrix):
@@ -33,7 +35,10 @@ def default_inverse_factory(A_sh, **kw):
         if bw <= _DEVICE_BW_MAX:
             return banded_inverse_factory(A_sh, **kw)
         return cg_inverse_factory(rtol=1e-5, maxiter=2000)(A_sh)
-    return lu_inverse_factory(A_sh, **kw)
+    try:
+        return rcm_banded_inverse_factory(A_sh, **kw)
+    except ValueError:
+        return cg_inverse_factory(rtol=1e-5, maxiter=2000)(A_sh)
 
 
 def solve_linear_system(A, b):
