@@ -31,18 +31,27 @@ def log(*a):
 
 
 def bench_loop(step, x0, K=50, reps=4):
-    """Best-of-reps time per application of ``step``, amortized over K
-    chained applications inside one jit."""
-    f = jax.jit(lambda x: lax.fori_loop(0, K, lambda i, s: step(s), x))
-    out = f(x0)
-    _ = np.asarray(out.ravel()[0])  # force full drain through the tunnel
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
+    """Time per application of ``step`` by the two-K slope method.
+
+    A detached call through the TPU tunnel costs ~30-40 ms fixed (dispatch +
+    fetch round trip), so t_op = (T(K) - T(K/5)) / (K - K/5) — the marginal
+    per-op cost with the fixed cost differenced out. Each T is best-of-reps
+    of a K-chained fori_loop with one host fetch."""
+    K1 = max(1, K // 5)
+
+    def total(k):
+        f = jax.jit(lambda x: lax.fori_loop(0, k, lambda i, s: step(s), x))
         out = f(x0)
-        _ = np.asarray(out.ravel()[0])
-        best = min(best, time.perf_counter() - t0)
-    return best / K
+        _ = np.asarray(out.ravel()[0])  # force full drain through the tunnel
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = f(x0)
+            _ = np.asarray(out.ravel()[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (total(K) - total(K1)) / (K - K1)
 
 
 def main():

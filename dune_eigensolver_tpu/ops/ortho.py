@@ -46,16 +46,38 @@ def dot_products_all(Q1: jax.Array, Q2: jax.Array) -> jax.Array:
     return jnp.dot(Q1.T, Q2, precision=_PREC)
 
 
+def _small_chol(G: jax.Array) -> jax.Array:
+    """Lower Cholesky of a block Gram matrix; fully unrolled for the static
+    small block sizes (8x8 jnp.linalg.cholesky lowers to a serialized XLA
+    loop on TPU — see ops/smalllinalg.py)."""
+    from dune_eigensolver_tpu.ops.smalllinalg import _UNROLL_MAX, cholesky_unrolled
+
+    if G.shape[0] <= _UNROLL_MAX:
+        return cholesky_unrolled(G)
+    return jnp.linalg.cholesky(G)
+
+
+def _right_lower_t_solve(Xk: jax.Array, R: jax.Array) -> jax.Array:
+    """Xk @ R^-T for lower-triangular R (unrolled for small blocks)."""
+    from dune_eigensolver_tpu.ops.smalllinalg import (
+        _UNROLL_MAX,
+        solve_lower_transpose_right,
+    )
+
+    if R.shape[0] <= _UNROLL_MAX:
+        return solve_lower_transpose_right(Xk, R)
+    return lax.linalg.triangular_solve(
+        R, Xk, left_side=False, lower=True, transpose_a=True
+    )
+
+
 def _right_chol_solve(Xk: jax.Array, G: jax.Array, eps: float) -> jax.Array:
     """Return Xk @ chol(G)^-T for symmetric positive definite G."""
     G = 0.5 * (G + G.T)
     # tiny relative regularization guards chol against rank deficiency of a
     # random block; mirrors the reference's reliance on benign Gram matrices.
     G = G + eps * jnp.trace(G) / G.shape[0] * jnp.eye(G.shape[0], dtype=G.dtype)
-    R = jnp.linalg.cholesky(G)  # lower
-    return lax.linalg.triangular_solve(
-        R, Xk, left_side=False, lower=True, transpose_a=True
-    )
+    return _right_lower_t_solve(Xk, _small_chol(G))
 
 
 def orthonormalize_blocked(
@@ -142,13 +164,9 @@ def b_orthonormalize_blocked(
             norm = jnp.maximum(norm, jnp.max(jnp.abs(jnp.where(offdiag, G, 0))))
             G = 0.5 * (G + G.T)
             Gr = G + eps * jnp.trace(G) / block * jnp.eye(block, dtype=G.dtype)
-            R = jnp.linalg.cholesky(Gr)
-            Xk = lax.linalg.triangular_solve(
-                R, Xk, left_side=False, lower=True, transpose_a=True
-            )
-            Pk = lax.linalg.triangular_solve(
-                R, Pk, left_side=False, lower=True, transpose_a=True
-            )
+            R = _small_chol(Gr)
+            Xk = _right_lower_t_solve(Xk, R)
+            Pk = _right_lower_t_solve(Pk, R)
             done_x = Xk if done_x is None else jnp.concatenate([done_x, Xk], 1)
             done_p = Pk if done_p is None else jnp.concatenate([done_p, Pk], 1)
         X = done_x
