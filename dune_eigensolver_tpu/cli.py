@@ -13,8 +13,9 @@ greppable result lines, and INI + ``key=value`` configuration
   the GenEO pair (Neumann A, partition-of-unity B) with
   ``generalized_inverse``; line ``N_M_TOL_RASERROR_ARPERROR_TIMERATIO``.
 * ``eigenvalues`` — timing run dispatching on ``ev.method`` (cc:448-525):
-  'raes' -> generalized_inverse, 'arpack' -> scipy oracle, 'dist' ->
-  sharded multi-chip solve (new capability).
+  'raes' -> generalized_inverse, 'arpack' -> scipy oracle, 'lobpcg' ->
+  preconditioned LOBPCG (new capability), 'dist' -> sharded multi-chip
+  solve (new capability).
 * ``mgs``     — orthonormalization benchmark (cc:164-311) with the roofline
   models of bench/models.py; line ``P_n_m_i_perfn_perfb_intensity``.
 * ``matvec``  — SpMM benchmark (cc:315-427); lines
@@ -240,6 +241,25 @@ def eigenvalues_test(ptree) -> dict:
                 seed=int(ptree["ev.seed"]),
                 inverse=_inverse_factory(ptree),
                 rayleigh_ritz=bool(ptree.get("ev.rr", False)),
+            )
+        )
+        ev = np.asarray(res.eigenvalues)
+        iters = int(res.iterations)
+    elif method == "lobpcg":
+        from dune_eigensolver_tpu.solvers import lobpcg_generalized
+
+        res, t = _timed(
+            lambda: lobpcg_generalized(
+                A,
+                B,
+                nev=m,
+                tol=float(ptree["ev.tol"]),
+                maxiter=int(ptree["ev.maxiter"]),
+                shift=float(ptree["ev.shift"]),
+                reg=float(ptree["ev.regularization"]),
+                block=block,
+                seed=int(ptree["ev.seed"]),
+                precond=False if str(ptree["ev.inverse"]) == "none" else _inverse_factory(ptree),
             )
         )
         ev = np.asarray(res.eigenvalues)

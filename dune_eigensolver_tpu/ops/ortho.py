@@ -125,6 +125,7 @@ def b_orthonormalize_blocked(
     gram_reduce: Optional[Callable[[jax.Array], jax.Array]] = None,
     iterations: int = 1,
     eps: float = 0.0,
+    return_mass: bool = False,
 ):
     """B-orthonormalize the columns of X: on return X^T B X = I.
 
@@ -133,6 +134,13 @@ def b_orthonormalize_blocked(
     maximum absolute off-diagonal Gram/projection coefficient observed — the
     loss-of-orthogonality monitor of the reference
     (kernels_cpp.hh:369,466,568,590).
+
+    ``return_mass=True`` additionally returns the per-column B-mass
+    ``diag(Gram)`` measured after projection but before normalization, on
+    the FIRST sweep: for a singular B (the GenEO partition-of-unity mass,
+    src/dune-eigensolver.cc:124-143) a column in null(B) has mass ~ eps and
+    only survives normalization through the regularization floor — callers
+    (LOBPCG) use the mass to identify and deflate such junk directions.
 
     Like the reference (:379-395), ``P = B @ (pivot block)`` is recomputed per
     block so it reflects earlier projections, then kept consistent through
@@ -148,9 +156,11 @@ def b_orthonormalize_blocked(
 
     norm = jnp.zeros((), dtype=X.dtype)
     offdiag = ~jnp.eye(block, dtype=bool)
-    for _ in range(iterations):
+    mass = None  # first-sweep pre-normalization diag(G), per column
+    for sweep in range(iterations):
         done_x = None  # orthonormal prefix
         done_p = None  # B @ prefix
+        masses = []
         for bk in range(0, m, block):
             Xk = X[:, bk : bk + block]
             if done_x is not None:
@@ -162,6 +172,7 @@ def b_orthonormalize_blocked(
             Pk = apply_b(Xk)
             G = reduce_(jnp.dot(Pk.T, Xk, precision=_PREC))
             norm = jnp.maximum(norm, jnp.max(jnp.abs(jnp.where(offdiag, G, 0))))
+            masses.append(jnp.diag(G))
             G = 0.5 * (G + G.T)
             Gr = G + eps * jnp.trace(G) / block * jnp.eye(block, dtype=G.dtype)
             R = _small_chol(Gr)
@@ -170,4 +181,8 @@ def b_orthonormalize_blocked(
             done_x = Xk if done_x is None else jnp.concatenate([done_x, Xk], 1)
             done_p = Pk if done_p is None else jnp.concatenate([done_p, Pk], 1)
         X = done_x
+        if sweep == 0:
+            mass = jnp.concatenate(masses)
+    if return_mass:
+        return X, norm, mass
     return X, norm
