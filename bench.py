@@ -30,36 +30,50 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_loop(step, x0, K=50, reps=4):
+def bench_loop(step, x0, K=50, reps=4, op_args=()):
     """Time per application of ``step`` by the two-K slope method.
 
     A detached call through the TPU tunnel costs ~30-40 ms fixed (dispatch +
     fetch round trip), so t_op = (T(K) - T(K/5)) / (K - K/5) — the marginal
     per-op cost with the fixed cost differenced out. Each T is best-of-reps
-    of a K-chained fori_loop with one host fetch."""
+    of a K-chained fori_loop with one host fetch; the K and K/5 runs are
+    interleaved so load transients hit both and cancel in the difference.
+
+    ``op_args``: static operands (e.g. matrix data) threaded through jit as
+    REAL ARGUMENTS — closing over them would embed them as constants in the
+    compile RPC (tens of MB per compile through the tunnel, and a cache miss
+    for every new buffer)."""
     K1 = max(1, K // 5)
 
-    def total(k):
-        f = jax.jit(lambda x: lax.fori_loop(0, k, lambda i, s: step(s), x))
+    def compile_chain(k):
+        f = jax.jit(
+            lambda x, *a: lax.fori_loop(0, k, lambda i, s: step(s, *a), x)
+        )
         for attempt in range(3):  # remote-compile RPC is occasionally flaky
             try:
-                out = f(x0)
+                out = f(x0, *op_args)
                 break
             except Exception as e:
                 if attempt == 2:
                     raise
                 log(f"bench_loop: compile attempt {attempt} failed ({e!r}); retrying")
                 time.sleep(5)
-        _ = np.asarray(out.ravel()[0])  # force full drain through the tunnel
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = f(x0)
-            _ = np.asarray(out.ravel()[0])
-            best = min(best, time.perf_counter() - t0)
-        return best
+        _ = np.asarray(jnp.ravel(out)[0])  # drain through the tunnel
+        return f
 
-    return (total(K) - total(K1)) / (K - K1)
+    fK, fK1 = compile_chain(K), compile_chain(K1)
+    bestK = bestK1 = float("inf")
+    for _ in range(reps):
+        for f, k in ((fK, K), (fK1, K1)):
+            t0 = time.perf_counter()
+            out = f(x0, *op_args)
+            _ = np.asarray(jnp.ravel(out)[0])
+            t = time.perf_counter() - t0
+            if k == K:
+                bestK = min(bestK, t)
+            else:
+                bestK1 = min(bestK1, t)
+    return max((bestK - bestK1) / (K - K1), 1e-9)
 
 
 def main():
@@ -88,12 +102,30 @@ def main():
     # pre-scale so chained applications stay bounded (spectral radius < 1)
     A = DIAMatrix(data=A.data / 8.0, offsets=A.offsets, shape=A.shape)
     n = A.shape[0]
+    offsets, shape = A.offsets, A.shape
     Xt = jax.random.normal(jax.random.PRNGKey(0), (m, n), dtype=dtype)
 
-    t_pl = bench_loop(lambda x: dia_spmm_t_pallas(A, x), Xt)
-    t_xla = bench_loop(lambda x: dia_spmm_t_xla(A, x), Xt)
-    t = min(t_pl, t_xla)
-    which = "pallas" if t_pl <= t_xla else "xla"
+    from dune_eigensolver_tpu.kernels.dia_spmm import (
+        PaddedLayout,
+        dia_spmm_t_pallas_padded,
+    )
+
+    L = PaddedLayout(n, m, offsets)
+    Xp = L.pad(Xt)
+
+    def mk(kernel):  # matrix data as a jit ARG, never a baked-in constant
+        def step(x, data):
+            return kernel(DIAMatrix(data=data, offsets=offsets, shape=shape), x)
+
+        return step
+
+    t_pad = bench_loop(
+        mk(lambda A_, x: dia_spmm_t_pallas_padded(A_, x, L)), Xp, op_args=(A.data,)
+    )
+    t_pl = bench_loop(mk(dia_spmm_t_pallas), Xt, op_args=(A.data,))
+    t_xla = bench_loop(mk(dia_spmm_t_xla), Xt, op_args=(A.data,))
+    t = min(t_pl, t_xla, t_pad)
+    which = {t_pl: "pallas", t_xla: "xla", t_pad: "pallas_padded"}[t]
 
     ndiag = len(A.offsets)
     bytes_min = (ndiag * n + 2 * n * m) * 4
@@ -103,7 +135,7 @@ def main():
     log(
         f"spmm[{which}]: n={n} m={m} t={t*1e6:.0f}us {gbps:.1f} GB/s "
         f"{gflops:.1f} GFLOP/s {nnz/t/1e9:.2f} Gnnz/s "
-        f"(pallas {t_pl*1e6:.0f}us, xla {t_xla*1e6:.0f}us)"
+        f"(pallas {t_pl*1e6:.0f}us, padded {t_pad*1e6:.0f}us, xla {t_xla*1e6:.0f}us)"
     )
 
     print(
@@ -128,13 +160,18 @@ def main():
 
     def aux():
         try:
-            from dune_eigensolver_tpu.solvers import generalized_inverse
+            from dune_eigensolver_tpu.factorize import cg_inverse_factory
+            from dune_eigensolver_tpu.solvers import (
+                generalized_inverse,
+                lobpcg_generalized,
+            )
 
             Ng = 256
             Ag = problems.laplacian_neumann_2d(Ng, dtype=dtype)
             Bg = problems.laplacian_b_2d(Ng, 3, dtype=dtype)
-            # default inverse = device block-banded direct solve; first call
-            # includes the one-time remote compile, second is steady-state
+            # reference-parity path: factorize (device block-banded direct
+            # solve) + shift-invert subspace iteration; first call includes
+            # the one-time remote compile, second is steady-state
             t0 = time.perf_counter()
             res = generalized_inverse(Ag, Bg, nev=8, tol=2e-3, maxiter=200, shift=1e-3)
             ev = np.asarray(res.eigenvalues)
@@ -147,6 +184,22 @@ def main():
                 f"generalized_inverse[banded]: n={Ag.shape[0]} nev=8 "
                 f"iters={int(res.iterations)} time={t_solve:.2f}s "
                 f"(first incl compile {t_first:.1f}s) evals[:3]={ev[:3]}"
+            )
+            # TPU-first fast path: LOBPCG + loose-CG preconditioner, no
+            # factorization at all
+            prec = cg_inverse_factory(rtol=1e-2, maxiter=25)
+            run = lambda: lobpcg_generalized(
+                Ag, Bg, nev=8, tol=2e-3, maxiter=200, shift=1e-3, precond=prec
+            )
+            res = run()
+            ev = np.asarray(res.eigenvalues)
+            t0 = time.perf_counter()
+            res = run()
+            jax.block_until_ready(res.eigenvalues)
+            t_lo = time.perf_counter() - t0
+            log(
+                f"lobpcg[cg25]: n={Ag.shape[0]} nev=8 iters={int(res.iterations)} "
+                f"time={t_lo:.2f}s evals[:3]={ev[:3]}"
             )
         except Exception as e:  # aux must not break the primary line
             log(f"solver aux bench failed: {e!r}")

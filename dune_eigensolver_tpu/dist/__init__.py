@@ -4,6 +4,7 @@ from dune_eigensolver_tpu.dist.sharded import (
     halo_exchange,
     psum_reduce,
     sharded_generalized_inverse,
+    sharded_lobpcg_generalized,
     sharded_standard_inverse,
     sharded_standard_largest,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "halo_exchange",
     "psum_reduce",
     "sharded_generalized_inverse",
+    "sharded_lobpcg_generalized",
     "sharded_standard_inverse",
     "sharded_standard_largest",
 ]

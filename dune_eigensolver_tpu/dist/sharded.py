@@ -386,6 +386,99 @@ def sharded_generalized_inverse(
     return fn(A_op.data, B_sh.data, Q0)
 
 
+def sharded_lobpcg_generalized(
+    A: DIAMatrix,
+    B: DIAMatrix,
+    nev: int,
+    tol: float,
+    maxiter: int,
+    shift: float = 0.0,
+    reg: float = 0.0,
+    mesh: Optional[Mesh] = None,
+    block: int = 8,
+    seed: int = 123,
+    min_iter: int = 3,
+    cg_rtol: float = 1e-2,
+    cg_maxiter: int = 100,
+    axis: str = ROW_AXIS,
+):
+    """Multi-chip LOBPCG on the reciprocal pencil (solvers/lobpcg.py).
+
+    The preconditioner is a *loose* matrix-free CG on the shifted operator
+    (rtol defaults to 1e-2 — LOBPCG only needs an approximate inverse, so
+    the inner Krylov runs an order of magnitude shorter than the sharded
+    shift-invert solvers' inner solve). All Gram reductions psum over the
+    row axis; SpMMs halo-exchange over ICI.
+    """
+    from dune_eigensolver_tpu.factorize.cg import cg_solve
+    from dune_eigensolver_tpu.solvers.lobpcg import lobpcg_generalized
+    from dune_eigensolver_tpu.solvers.standard import padded_width, random_multivector
+
+    mesh = mesh or make_mesh(axis=axis)
+    n = A.shape[0]
+    _check_divisible(n, mesh)
+
+    A_op = A
+    if shift != 0.0:
+        A_op = A_op.axpy(shift, B)
+    if reg != 0.0:
+        A_op = A_op.with_shifted_diagonal(reg)
+    A_op = _shard_dia(A_op, mesh, axis)
+    B_sh = _shard_dia(B, mesh, axis)
+    m = padded_width(nev, block)
+    Q0 = random_multivector(jax.random.PRNGKey(seed), n, m, A.dtype)
+    Q0 = jax.device_put(Q0, NamedSharding(mesh, P(axis, None)))
+    reduce_ = psum_reduce(axis)
+
+    def local_solver(adata, bdata, q0):
+        apply_a = partial(dia_spmm_halo, adata, A.offsets, axis=axis)
+        apply_b = partial(dia_spmm_halo, bdata, B.offsets, axis=axis)
+        diag_local = adata[A.offsets.index(0)]
+
+        def precond(_unused):
+            def solve(X):
+                Y, _ = cg_solve(
+                    apply_a,
+                    X,
+                    diag=diag_local,
+                    rtol=cg_rtol,
+                    maxiter=cg_maxiter,
+                    gram_reduce=reduce_,
+                )
+                return Y
+
+            return solve
+
+        return lobpcg_generalized(
+            _LocalOperand(adata, A.offsets, A.shape, q0.dtype),
+            _LocalOperand(bdata, B.offsets, B.shape, q0.dtype),
+            nev,
+            tol,
+            maxiter,
+            shift=0.0,  # shift/reg already folded into adata above
+            reg=0.0,
+            block=block,
+            seed=seed,
+            min_iter=min_iter,
+            precond=precond,
+            apply_a=apply_a,
+            apply_b=apply_b,
+            gram_reduce=reduce_,
+            q0=q0,
+            eval_shift=shift,
+        )
+
+    fn = jax.jit(
+        jax.shard_map(
+            local_solver,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None, axis), P(axis, None)),
+            out_specs=_result_specs(axis),
+        )
+    )
+    return fn(A_op.data, B_sh.data, Q0)
+
+
 class _LocalOperand:
     """Minimal duck-typed operand for solver internals that only need
     .shape/.dtype when apply_a/apply_b/q0 are all supplied."""

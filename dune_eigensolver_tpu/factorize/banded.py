@@ -372,6 +372,39 @@ def _device_block_lu(Aii, Asub, Asup):
     return out
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+def _factorize_device_core(A, C, npad, nb, dtype, method, band_bw):
+    """Whole device factorization (block extraction + scan + factor
+    reshaping) as ONE jit: on a tunneled TPU each eager op is a dispatch
+    RPC, and the flips/concats below would otherwise dominate end-to-end
+    setup time by an order of magnitude."""
+    n = A.shape[0]
+    Aii, Asub, Asup = _dia_to_block_tridiag(A, C, npad, nb, dtype)
+    if method == "cholesky":
+        Linv, Lsub = _device_cholesky(Aii, Asub)
+        # bwd factor: reversed U = reversed L^T (see host path algebra):
+        # dinvB[p] = flip2(Linv_q)^T, subB[p] = flip2(Lsub_{q+1}^T),
+        # q = nb-1-p; subB[0] = 0.
+        dinvB = _flip2(jnp.swapaxes(Linv, -1, -2))[::-1]
+        subB_tail = _flip2(jnp.swapaxes(Lsub, -1, -2))[::-1]
+        subB = jnp.concatenate([jnp.zeros((1, C, C), dtype), subB_tail[:-1]], axis=0)
+        fwd = BandedFactor(dinv=Linv, sub=Lsub[:, None], nb=nb, C=C, k=1)
+        bwd = BandedFactor(dinv=dinvB, sub=subB[:, None], nb=nb, C=C, k=1)
+    else:  # 'lu' / 'auto'
+        Dfwd, Lsub, Uinv, Usup = _device_block_lu(Aii, Asub, Asup)
+        dinvB = _flip2(Uinv)[::-1]
+        subB_tail = _flip2(Usup)[::-1]
+        # reversed-system sub block p multiplies x block p-1 (original q+1):
+        # T_{p,p-1} = flip2(U_{q,q+1}) with q = nb-1-p; first block has none
+        subB = jnp.concatenate([jnp.zeros((1, C, C), dtype), subB_tail[1:]], axis=0)
+        fwd = BandedFactor(dinv=Dfwd, sub=Lsub[:, None], nb=nb, C=C, k=1)
+        bwd = BandedFactor(dinv=dinvB, sub=subB[:, None], nb=nb, C=C, k=1)
+    kind = "cholesky" if method == "cholesky" else "lu"
+    return BandedFactorization(
+        fwd=fwd, bwd=bwd, n=n, npad=npad, stats=(band_bw, C, nb, kind)
+    )
+
+
 def factorize_banded_device(
     A,
     C: int = 256,
@@ -399,38 +432,21 @@ def factorize_banded_device(
         C = -(-C // 128) * 128
     nb = -(-n // C)
     npad = nb * C
-    Aii, Asub, Asup = _dia_to_block_tridiag(A, C, npad, nb, dtype)
-
-    if method == "cholesky":
-        Linv, Lsub = _device_cholesky(Aii, Asub)
-        if validate and not bool(jnp.isfinite(Linv[-1]).all()):
-            raise ZeroDivisionError("device Cholesky failed (operator not SPD?)")
-        # bwd factor: reversed U = reversed L^T (see host path algebra):
-        # dinvB[p] = flip2(Linv_q)^T, subB[p] = flip2(Lsub_{q+1}^T),
-        # q = nb-1-p; subB[0] = 0.
-        dinvB = _flip2(jnp.swapaxes(Linv, -1, -2))[::-1]
-        subB_tail = _flip2(jnp.swapaxes(Lsub, -1, -2))[::-1]
-        subB = jnp.concatenate([jnp.zeros((1, C, C), dtype), subB_tail[:-1]], axis=0)
-        fwd = BandedFactor(dinv=Linv, sub=Lsub[:, None], nb=nb, C=C, k=1)
-        bwd = BandedFactor(dinv=dinvB, sub=subB[:, None], nb=nb, C=C, k=1)
-        kind = "cholesky"
-    else:  # 'lu' / 'auto'
-        Dfwd, Lsub, Uinv, Usup = _device_block_lu(Aii, Asub, Asup)
-        if validate and not bool(jnp.isfinite(Uinv[-1]).all()):
-            raise ZeroDivisionError("device block LU failed (zero pivot block?)")
-        dinvB = _flip2(Uinv)[::-1]
-        subB_tail = _flip2(Usup)[::-1]
-        # reversed-system sub block p multiplies x block p-1 (original q+1):
-        # T_{p,p-1} = flip2(U_{q,q+1}) with q = nb-1-p; first block has none
-        subB = jnp.concatenate([jnp.zeros((1, C, C), dtype), subB_tail[1:]], axis=0)
-        fwd = BandedFactor(dinv=Dfwd, sub=Lsub[:, None], nb=nb, C=C, k=1)
-        bwd = BandedFactor(dinv=dinvB, sub=subB[:, None], nb=nb, C=C, k=1)
-        kind = "lu"
-    if verbose > 0:
-        print(f"factorize_banded_device: n={n} bw={band_bw} kind={kind} C={C} nb={nb}")
-    return BandedFactorization(
-        fwd=fwd, bwd=bwd, n=n, npad=npad, stats=(band_bw, C, nb, kind)
+    F = _factorize_device_core(
+        A, C, npad, nb, dtype, "cholesky" if method == "cholesky" else "lu", band_bw
     )
+    if validate:
+        ok_arr = F.fwd.dinv[-1] if method == "cholesky" else F.bwd.dinv[0]
+        if not bool(jnp.isfinite(ok_arr).all()):
+            raise ZeroDivisionError(
+                "device factorization failed "
+                + ("(operator not SPD?)" if method == "cholesky" else "(zero pivot block?)")
+            )
+    if verbose > 0:
+        print(
+            f"factorize_banded_device: n={n} bw={band_bw} kind={F.stats[3]} C={C} nb={nb}"
+        )
+    return F
 
 
 # ---------------------------------------------------------------------------
@@ -487,6 +503,28 @@ def banded_solve(F: BandedFactorization, B: jax.Array) -> jax.Array:
 _DEVICE_BW_MAX = 2048  # beyond this the (C, C) dense blocks stop paying off
 
 
+_BANDED_SOLVE_FNS = {}
+
+
+def _banded_solve_fn(refine: int):
+    """Memoized per-``refine`` solve function: the solver cores key their
+    jit cache on the *identity* of the inverse function (static arg), so a
+    fresh closure per factory call would force a full retrace + compile RPC
+    on every solve — the dominant end-to-end cost on a remote TPU."""
+    if refine not in _BANDED_SOLVE_FNS:
+        from dune_eigensolver_tpu.sparse.spmm import spmm
+
+        def solve(aux, X, _refine=refine):
+            F_, A_ = aux
+            Y = banded_solve(F_, X).astype(X.dtype)
+            for _ in range(_refine):
+                Y = Y + banded_solve(F_, X - spmm(A_, Y)).astype(X.dtype)
+            return Y
+
+        _BANDED_SOLVE_FNS[refine] = solve
+    return _BANDED_SOLVE_FNS[refine]
+
+
 def banded_inverse_factory(A_sh, C: int = 256, refine: int = 1, **kw):
     """``inverse=`` factory for the solvers: factorize once (on device when
     the bandwidth allows, else on the host) and return the closure-free pair
@@ -502,19 +540,9 @@ def banded_inverse_factory(A_sh, C: int = 256, refine: int = 1, **kw):
     One step costs a DIA SpMM + one trisolve and recovers the accuracy a
     low-precision factorization loses — the mixed-precision analogue of the
     reference's full-f64 UMFPACK solve."""
-    from dune_eigensolver_tpu.sparse.spmm import spmm
-
     bw = max(abs(o) for o in A_sh.offsets)
     if bw <= _DEVICE_BW_MAX:
         F = factorize_banded_device(A_sh, C=C, **kw)
     else:
         F = factorize_banded(A_sh, C=C, **kw)
-
-    def solve(aux, X):
-        F_, A_ = aux
-        Y = banded_solve(F_, X).astype(X.dtype)
-        for _ in range(refine):
-            Y = Y + banded_solve(F_, X - spmm(A_, Y)).astype(X.dtype)
-        return Y
-
-    return (F, A_sh), solve
+    return (F, A_sh), _banded_solve_fn(refine)

@@ -94,20 +94,44 @@ def cg_inverse_factory(
     """
 
     def inverse(A_sh):
-        op = apply_a if apply_a is not None else (lambda X: spmm(A_sh, X))
-        diag = A_sh.diagonal() if hasattr(A_sh, "diagonal") else None
+        if apply_a is not None:
+            # caller-supplied operator (e.g. sharded SpMM closing over local
+            # shards inside shard_map): keep the plain-callable convention
+            diag = A_sh.diagonal() if hasattr(A_sh, "diagonal") else None
 
-        def solve(X):
+            def solve(X):
+                Y, _ = cg_solve(
+                    apply_a, X, diag=diag, rtol=rtol, maxiter=maxiter,
+                    gram_reduce=gram_reduce,
+                )
+                return Y
+
+            return solve
+
+        # closure-free pair: the operand is threaded through jit as an
+        # argument (a closure would serialize it into every compile RPC),
+        # and the solve fn is memoized so the solver cores' jit caches
+        # (keyed on the fn's identity) hit across factory calls
+        diag = A_sh.diagonal() if hasattr(A_sh, "diagonal") else None
+        return (A_sh, diag), _cg_solve_fn(rtol, maxiter, gram_reduce)
+
+    return inverse
+
+
+_CG_SOLVE_FNS = {}
+
+
+def _cg_solve_fn(rtol, maxiter, gram_reduce):
+    key = (float(rtol), int(maxiter), id(gram_reduce) if gram_reduce else None)
+    if key not in _CG_SOLVE_FNS:
+
+        def solve_pair(aux, X, _rtol=rtol, _maxiter=maxiter, _gr=gram_reduce):
+            A_, d_ = aux
             Y, _ = cg_solve(
-                op,
-                X,
-                diag=diag,
-                rtol=rtol,
-                maxiter=maxiter,
-                gram_reduce=gram_reduce,
+                lambda V: spmm(A_, V), X, diag=d_, rtol=_rtol,
+                maxiter=_maxiter, gram_reduce=_gr,
             )
             return Y
 
-        return solve
-
-    return inverse
+        _CG_SOLVE_FNS[key] = solve_pair
+    return _CG_SOLVE_FNS[key]

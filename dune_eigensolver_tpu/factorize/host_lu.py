@@ -278,8 +278,11 @@ def lu_inverse_factory(A_sh, chunk: int = 512, **kw):
     iteration). The pair form keeps the gather tables out of XLA constants —
     the solvers thread F through jit as an argument."""
     F = factorize(A_sh, chunk=chunk, **kw)
+    return F, _lu_solve_fn
 
-    def solve(F_, X):
-        return lu_solve(F_, X).astype(X.dtype)
 
-    return F, solve
+def _lu_solve_fn(F_, X):
+    # module-level (stable identity): the solver cores key their jit cache
+    # on this function object, so a per-factory closure would retrace and
+    # re-ship the compile RPC on every solve
+    return lu_solve(F_, X).astype(X.dtype)

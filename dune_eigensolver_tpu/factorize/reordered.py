@@ -77,9 +77,20 @@ def rcm_banded_inverse_factory(
     inner_aux, inner_fn = banded_inverse_factory(A_dia, C=C, refine=refine, **kw)
     perm_d = jnp.asarray(perm.astype(np.int32))
     iperm_d = jnp.asarray(np.argsort(perm).astype(np.int32))
+    return (inner_aux, perm_d, iperm_d), _rcm_solve_fn(inner_fn)
 
-    def solve(aux, X):
-        inner, p, ip = aux
-        return inner_fn(inner, X[p])[ip]
 
-    return (inner_aux, perm_d, iperm_d), solve
+_RCM_SOLVE_FNS = {}
+
+
+def _rcm_solve_fn(inner_fn):
+    # memoized per inner solve fn: keeps a stable identity so the solver
+    # cores' jit caches (keyed on the fn object) hit across factory calls
+    if inner_fn not in _RCM_SOLVE_FNS:
+
+        def solve(aux, X, _inner_fn=inner_fn):
+            inner, p, ip = aux
+            return _inner_fn(inner, X[p])[ip]
+
+        _RCM_SOLVE_FNS[inner_fn] = solve
+    return _RCM_SOLVE_FNS[inner_fn]

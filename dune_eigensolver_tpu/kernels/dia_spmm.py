@@ -187,9 +187,12 @@ def _kernel_padded(offsets, T, H, mpad, ndiag, data_ref, x_hbm, out_ref, xbuf, s
 
     def dma(slot, tile):
         # window [tile*T - H, tile*T + T + H) of the padded buffer; only
-        # issued for interior tiles, where tile >= 1 keeps it in range
+        # issued for interior tiles, where tile >= 1 keeps it in range.
+        # T and H are multiples of 128 but Mosaic's divisibility prover does
+        # not see through the subtraction — assert it.
+        start = pl.multiple_of(tile * T - H, 128)
         return pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(tile * T - H, T + 2 * H)],
+            x_hbm.at[:, pl.ds(start, T + 2 * H)],
             xbuf.at[slot],
             sems.at[slot],
         )

@@ -159,11 +159,9 @@ def generalized_inverse(
     ``shift=0`` and the original shift as ``eval_shift`` so the Rayleigh
     quotients are un-shifted correctly (eigensolver.hh:311-312).
     """
-    A_sh = A
-    if shift != 0.0:
-        A_sh = A_sh.axpy(shift, B)
-    if reg != 0.0:
-        A_sh = A_sh.with_shifted_diagonal(reg)
+    from dune_eigensolver_tpu.solvers.standard import shifted_operand
+
+    A_sh = shifted_operand(A, B, shift, reg)
     if inverse is None:
         from dune_eigensolver_tpu.factorize import default_inverse_factory
 

@@ -179,11 +179,9 @@ def lobpcg_generalized(
     solvers use, here only needed approximately. Pass ``precond=False`` for
     unpreconditioned LOBPCG (matrix-free end to end).
     """
-    A_sh = A
-    if shift != 0.0:
-        A_sh = A_sh.axpy(shift, B)
-    if reg != 0.0:
-        A_sh = A_sh.with_shifted_diagonal(reg)
+    from dune_eigensolver_tpu.solvers.standard import shifted_operand
+
+    A_sh = shifted_operand(A, B, shift, reg)
 
     if precond is False:
         prec_aux, prec_fn = None, (lambda _aux, X: X)

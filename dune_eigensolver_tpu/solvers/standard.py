@@ -42,6 +42,33 @@ def random_multivector(key, n: int, m: int, dtype) -> jax.Array:
     return jax.random.normal(key, (n, m), dtype=dtype)
 
 
+@jax.jit
+def _shift_operand_dia(A, B, shift, reg):
+    """A + shift*B + reg*I (B=None -> A + shift*I) as ONE jitted call: on a
+    tunneled TPU every eager op is a dispatch RPC, so the handful of
+    per-diagonal adds in axpy would otherwise cost more than the whole
+    factorization."""
+    A_sh = A.axpy(shift, B) if B is not None else A.with_shifted_diagonal(shift)
+    return A_sh.with_shifted_diagonal(reg)
+
+
+def shifted_operand(A, B, shift, reg):
+    """Shifted/regularized operand with the DIA fast path (single dispatch);
+    other formats fall back to their (host-side) axpy."""
+    from dune_eigensolver_tpu.sparse.formats import DIAMatrix
+
+    if isinstance(A, DIAMatrix) and (B is None or isinstance(B, DIAMatrix)):
+        if shift == 0.0 and reg == 0.0:
+            return A
+        return _shift_operand_dia(A, B, shift, reg)
+    A_sh = A
+    if shift != 0.0:
+        A_sh = A_sh.axpy(shift, B) if B is not None else A_sh.with_shifted_diagonal(shift)
+    if reg != 0.0:
+        A_sh = A_sh.with_shifted_diagonal(reg)
+    return A_sh
+
+
 def normalize_inverse(inv_result):
     """Inverse factories may return a plain callable ``X -> A^-1 X`` or a
     closure-free pair ``(aux, fn)`` with ``fn(aux, X)``. Normalize to the
@@ -144,7 +171,7 @@ def standard_largest(
     """
     A_sh = None
     if apply_a is None:
-        A_sh = A.with_shifted_diagonal(shift) if shift != 0.0 else A
+        A_sh = shifted_operand(A, None, shift, 0.0)
     dtype = dtype or A.dtype
     m = padded_width(nev, block)
     Q0 = (
@@ -238,7 +265,7 @@ def standard_inverse(
     the host-LU gather trisolve otherwise (factorize.host_lu). Pass
     ``factorize.cg.cg_inverse_factory(...)`` for the matrix-free TPU path.
     """
-    A_sh = A.with_shifted_diagonal(shift) if shift != 0.0 else A
+    A_sh = shifted_operand(A, None, shift, 0.0)
     if inverse is None:
         from dune_eigensolver_tpu.factorize import default_inverse_factory
 

@@ -52,7 +52,7 @@ def main():
     t = bench_loop(lambda x: dia_spmm_t_xla(A, x), Xt)
     print(f"xla_t          : {t*1e6:8.0f}us  {bytes_min/t/1e9:7.1f} GB/s(eff)", flush=True)
 
-    for T in (8192, 16384, 32768, 65536, 131072):
+    for T in (8192, 32768):
         try:
             t = bench_loop(lambda x, T=T: dia_spmm_t_pallas(A, x, tile=T), Xt)
             print(
@@ -61,6 +61,25 @@ def main():
             )
         except Exception as e:
             print(f"pallas T={T:6d}: FAILED {type(e).__name__}: {e}", flush=True)
+
+    from dune_eigensolver_tpu.kernels.dia_spmm import (
+        PaddedLayout,
+        dia_spmm_t_pallas_padded,
+    )
+
+    for T in (8192, 16384, 32768, 65536):
+        try:
+            L = PaddedLayout(n, m, A.offsets, tile=T)
+            Xp = L.pad(Xt)
+            t = bench_loop(
+                lambda x, L=L: dia_spmm_t_pallas_padded(A, x, L), Xp
+            )
+            print(
+                f"padded T={T:6d}: {t*1e6:8.0f}us  {bytes_min/t/1e9:7.1f} GB/s(eff)",
+                flush=True,
+            )
+        except Exception as e:
+            print(f"padded T={T:6d}: FAILED {type(e).__name__}: {e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -56,5 +56,9 @@ def test_wide_bandwidth_routes_to_cg():
     )
     A = DIAMatrix(data=data, offsets=(-bw, 0, bw), shape=(n, n))
     inv = default_inverse_factory(A)
-    # CG factory returns a plain callable (normalized later by the solver)
-    assert callable(inv) and not isinstance(inv, tuple)
+    # CG factory returns the closure-free (aux, fn) pair with the DIA
+    # operand as aux (banded engines return a BandedFactorization aux)
+    from dune_eigensolver_tpu.sparse.formats import DIAMatrix as _DIA
+
+    assert isinstance(inv, tuple) and callable(inv[1])
+    assert isinstance(inv[0][0], _DIA)

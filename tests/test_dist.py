@@ -88,3 +88,17 @@ def test_sharded_generalized_matches_single():
         np.abs(np.asarray(res_s.eigenvalues) - np.asarray(res_1.eigenvalues)).max()
         < 1e-6
     )
+
+
+def test_sharded_lobpcg_matches_oracle():
+    from dune_eigensolver_tpu.dist import sharded_lobpcg_generalized
+    from dune_eigensolver_tpu.oracle import smallest_generalized
+
+    N, overlap, shift = 16, 3, 1e-3
+    A = problems.laplacian_neumann_2d(N)
+    B = problems.laplacian_b_2d(N, overlap)
+    res_s = sharded_lobpcg_generalized(
+        A, B, nev=4, tol=1e-6, maxiter=300, shift=shift, mesh=make_mesh(8)
+    )
+    truth, _ = smallest_generalized(A, B, 4, sigma=-shift, tol=1e-14)
+    assert np.abs(np.asarray(res_s.eigenvalues)[:4] - truth).max() < 2e-3
