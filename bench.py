@@ -88,14 +88,6 @@ def main():
     log(f"device: {dev.device_kind} platform={dev.platform}")
     dtype = np.float32
 
-    # --- roofline: HBM copy bandwidth on this chip ---
-    big = jnp.ones((256 * 1024 * 1024 // 4,), dtype)
-    t_copy = bench_loop(lambda v: v + 1.0, big, K=30)
-    copy_gbps = 2 * big.size * 4 / t_copy / 1e9
-    log(f"copy roofline: {copy_gbps:.1f} GB/s ({t_copy*1e6:.0f}us/pass)")
-    del big  # keeping 256 MB alive perturbs allocator placement for the
-    # SpMM operands (measured ~2x slowdown of the Pallas kernel)
-
     # --- DIA SpMM on 2D Laplacian, production scale ---
     N, m = 2048, 8
     A = problems.laplacian_dirichlet_2d(N, dtype=dtype)
@@ -119,11 +111,29 @@ def main():
 
         return step
 
-    t_pad = bench_loop(
-        mk(lambda A_, x: dia_spmm_t_pallas_padded(A_, x, L)), Xp, op_args=(A.data,)
-    )
-    t_pl = bench_loop(mk(dia_spmm_t_pallas), Xt, op_args=(A.data,))
-    t_xla = bench_loop(mk(dia_spmm_t_xla), Xt, op_args=(A.data,))
+    copy_buf = jnp.ones((256 * 1024 * 1024 // 4,), dtype)
+
+    # The tunneled chip's throughput drifts (shared infrastructure): measure
+    # roofline and kernels in interleaved rounds and take per-phase minima,
+    # so the ratio compares both under the same best-case conditions.
+    t_copy = t_pad = t_pl = t_xla = float("inf")
+    for rnd in range(3):
+        t_copy = min(t_copy, bench_loop(lambda v: v + 1.0, copy_buf, K=30, reps=2))
+        t_pad = min(
+            t_pad,
+            bench_loop(
+                mk(lambda A_, x: dia_spmm_t_pallas_padded(A_, x, L)),
+                Xp, op_args=(A.data,), reps=2,
+            ),
+        )
+        t_pl = min(t_pl, bench_loop(mk(dia_spmm_t_pallas), Xt, op_args=(A.data,), reps=2))
+        t_xla = min(t_xla, bench_loop(mk(dia_spmm_t_xla), Xt, op_args=(A.data,), reps=2))
+        log(
+            f"round {rnd}: copy {t_copy*1e6:.0f}us pallas {t_pl*1e6:.0f}us "
+            f"padded {t_pad*1e6:.0f}us xla {t_xla*1e6:.0f}us"
+        )
+    copy_gbps = 2 * copy_buf.size * 4 / t_copy / 1e9
+    log(f"copy roofline: {copy_gbps:.1f} GB/s ({t_copy*1e6:.0f}us/pass)")
     t = min(t_pl, t_xla, t_pad)
     which = {t_pl: "pallas", t_xla: "xla", t_pad: "pallas_padded"}[t]
 
