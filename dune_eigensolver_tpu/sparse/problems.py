@@ -122,17 +122,38 @@ def laplacian_islands_2d(N: int, islands: int, dtype=np.float64) -> DIAMatrix:
     return _dia(tiled, offsets, n * islands, dtype)
 
 
+def _laplacian_3d_device(N: int, dtype) -> jnp.ndarray:
+    """Device-side assembly of the 3D diagonals: at 10M dof the (7, n) data
+    is ~280 MB, and a tunneled TPU uploads host arrays at ~1 MB/s — the
+    formulas below run as one jit with nothing shipped from the host."""
+    import jax
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(0, 1))
+    def build(N, dtype):
+        n = N * N * N
+        i = jnp.arange(n, dtype=jnp.int32)
+        one = jnp.asarray(-1.0, dtype)
+        zero = jnp.asarray(0.0, dtype)
+        rows = [
+            jnp.where(i >= N * N, one, zero),
+            jnp.where((i // N) % N != 0, one, zero),
+            jnp.where(i % N != 0, one, zero),
+            jnp.full((n,), 6.0, dtype),
+            jnp.where(i % N != N - 1, one, zero),
+            jnp.where((i // N) % N != N - 1, one, zero),
+            jnp.where(i < n - N * N, one, zero),
+        ]
+        return jnp.stack(rows)
+
+    return build(N, jnp.dtype(dtype))
+
+
 def laplacian_dirichlet_3d(N: int, dtype=np.float32) -> DIAMatrix:
-    """3D 7-point Laplacian on an N^3 grid (north-star problem, BASELINE.md)."""
+    """3D 7-point Laplacian on an N^3 grid (north-star problem, BASELINE.md).
+    Assembled on device (see _laplacian_3d_device)."""
     n = N * N * N
     offsets = (-N * N, -N, -1, 0, 1, N, N * N)
-    data = np.zeros((7, n))
-    i = np.arange(n)
-    data[0] = np.where(i >= N * N, -1.0, 0.0)
-    data[1] = np.where((i // N) % N != 0, -1.0, 0.0)
-    data[2] = np.where(i % N != 0, -1.0, 0.0)
-    data[3] = 6.0
-    data[4] = np.where(i % N != N - 1, -1.0, 0.0)
-    data[5] = np.where((i // N) % N != N - 1, -1.0, 0.0)
-    data[6] = np.where(i < n - N * N, -1.0, 0.0)
-    return _dia(data, offsets, n, dtype)
+    return DIAMatrix(
+        data=_laplacian_3d_device(N, dtype), offsets=offsets, shape=(n, n)
+    )

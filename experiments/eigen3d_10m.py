@@ -1,0 +1,68 @@
+"""TPU experiment: smallest-20 eigenpairs of the 3D 7-point Laplacian at
+>= 10M dof on ONE chip (the BASELINE.md north-star problem, single-chip
+slice), via LOBPCG with a loose-CG preconditioner — no factorization.
+
+    python experiments_3d_10m.py [N] [nev] [cgiter]
+
+N=216 -> n = 10,077,696 dof.
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dune_eigensolver_tpu.factorize import cg_inverse_factory
+from dune_eigensolver_tpu.oracle.analytic import eigenvalues_laplace_dirichlet_3d
+from dune_eigensolver_tpu.solvers import lobpcg_generalized
+from dune_eigensolver_tpu.sparse import problems
+from dune_eigensolver_tpu.sparse.formats import DIAMatrix
+
+
+def main():
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 216
+    nev = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    cgiter = int(sys.argv[3]) if len(sys.argv) > 3 else 25
+    dtype = np.float32
+
+    t0 = time.perf_counter()
+    A = problems.laplacian_dirichlet_3d(N, dtype=dtype)
+    n = A.shape[0]
+    B = DIAMatrix(
+        data=jnp.ones((1, n), dtype), offsets=(0,), shape=A.shape
+    )  # identity mass: standard problem
+    _ = np.asarray(jnp.ravel(A.data)[0])
+    t_build = time.perf_counter() - t0
+    print(f"build+upload: n={n:,} in {t_build:.1f}s", flush=True)
+
+    prec = cg_inverse_factory(rtol=1e-2, maxiter=cgiter)
+    run = lambda: lobpcg_generalized(
+        A, B, nev=nev, tol=2e-3, maxiter=300, shift=0.0, precond=prec,
+        min_iter=3,
+    )
+    t0 = time.perf_counter()
+    res = run()
+    ev = np.asarray(res.eigenvalues)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = run()
+    _ = np.asarray(res.eigenvalues)
+    t_solve = time.perf_counter() - t0
+
+    ana = eigenvalues_laplace_dirichlet_3d(N, count=nev)
+    err = np.abs(ev[:nev] - ana).max()
+    print(
+        f"lobpcg 3D: n={n:,} nev={nev} iters={int(res.iterations)} "
+        f"conv={bool(res.converged)} time={t_solve:.2f}s "
+        f"(first incl compile {t_first:.1f}s)",
+        flush=True,
+    )
+    print(f"max |ev - analytic| = {err:.3e}  (tol 2e-3)", flush=True)
+    print(f"evals[:6]   = {ev[:6]}", flush=True)
+    print(f"analytic[:6]= {ana[:6]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
