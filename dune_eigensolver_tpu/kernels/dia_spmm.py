@@ -138,6 +138,134 @@ def dia_spmm_best(A: DIAMatrix, X: jax.Array) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Grouped-window kernel: wide-band stencils (3D 7-point: offsets +-N^2)
+# ---------------------------------------------------------------------------
+#
+# The single-window kernel above fetches [jT - H, (j+1)T + H) with H =
+# max|offset|; for a 3D operator H = N^2 and the window no longer fits VMEM.
+# But stencil offsets CLUSTER: {-N^2}, {-N..N}, {+N^2}. This kernel DMAs one
+# aligned window per cluster (each only as wide as the cluster's span) and
+# applies the same static lane-shifted FMAs within each window.
+
+
+def _group_offsets(offsets, T):
+    """Cluster diagonal offsets so each cluster's span fits a tile.
+    Returns list of (base, [(idx, off), ...]) with base 128-aligned <= off."""
+    pairs = sorted(enumerate(offsets), key=lambda p: p[1])
+    groups = []
+    cur = None
+    for d, off in pairs:
+        if cur is not None and off - cur[1][0][1] <= T:
+            cur[1].append((d, off))
+        else:
+            cur = (off, [(d, off)])
+            groups.append(cur)
+    out = []
+    for first_off, members in groups:
+        base = (first_off // 128) * 128  # aligned DMA base (floor)
+        out.append((base, members))
+    return out
+
+
+def _kernel_grouped(groups, T, W, mpad, data_ref, x_hbm, out_ref, xbuf, sems):
+    j = pl.program_id(0)
+    nt = pl.num_programs(0)
+    ngroups = len(groups)
+
+    def dma(slot, tile, g):
+        base, _ = groups[g]
+        start = pl.multiple_of(tile * T + base, 128)
+        return pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(start, W)],
+            xbuf.at[slot, g],
+            sems.at[slot, g],
+        )
+
+    @pl.when(j == 0)
+    def _():
+        for g in range(ngroups):
+            dma(0, 0, g).start()
+
+    @pl.when(j + 1 < nt)
+    def _():
+        for g in range(ngroups):
+            dma((j + 1) % 2, j + 1, g).start()
+
+    slot = j % 2
+    acc = jnp.zeros((mpad, T), jnp.float32)
+    for g, (base, members) in enumerate(groups):
+        dma(slot, j, g).wait()
+        for d, off in members:
+            rel = off - base  # in-window lane offset, [0, T + span)
+            window = xbuf[slot, g, :, rel : rel + T]
+            acc = acc + data_ref[d][None, :].astype(jnp.float32) * window.astype(
+                jnp.float32
+            )
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def dia_spmm_t_pallas_grouped(
+    A: DIAMatrix, Xt: jax.Array, tile: Optional[int] = None, interpret: bool = False
+) -> jax.Array:
+    """Pallas DIA SpMM for wide-band (e.g. 3D 7-point) operators in the
+    transposed (m, n) layout: one modest VMEM window per diagonal cluster
+    instead of one bandwidth-wide window. Yt (m, n) = A @ X."""
+    m, n = Xt.shape
+    if A.shape[1] != n:
+        raise ValueError(f"dia_spmm_t_pallas_grouped: {A.shape} vs Xt {Xt.shape}")
+    if tile is None:
+        tile = 8192
+    T = _round_up(tile, 128)
+    groups = _group_offsets(A.offsets, T)
+    # uniform window width: tile + max cluster span + alignment slack
+    span = max(
+        (members[-1][1] - base) for base, members in groups
+    )
+    W = _round_up(T + span + 128, 128)
+    mpad = _round_up(m, 8)
+    ndiag = len(A.offsets)
+
+    n_pad = _round_up(n, T)
+    grid = n_pad // T
+    halo = max(abs(o) for o in A.offsets)
+    # left/right guard so every group window [jT + base + G, ... + W) stays
+    # inside the padded buffer: start >= G - halo - 128 > 0 and
+    # end <= n_pad + halo + T + 256 + G <= n_pad + 2G
+    G = _round_up(halo + T + 256, 128)
+    Xp = jnp.pad(Xt, ((0, mpad - m), (G, n_pad - n + G)))
+    data = A.data
+    if n_pad != n:
+        data = jnp.pad(data, ((0, 0), (0, n_pad - n)))
+
+    # shift group bases by the guard so DMA starts are >= 0
+    groups_sh = [
+        (base + G, members) for base, members in groups
+    ]
+    kernel = functools.partial(_kernel_grouped, tuple(groups_sh), T, W, mpad)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((mpad, n_pad), Xt.dtype),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((ndiag, T), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((mpad, T), lambda j: (0, j), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, len(groups_sh), mpad, W), Xt.dtype),
+            pltpu.SemaphoreType.DMA((2, len(groups_sh))),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ndiag * n * m,
+            bytes_accessed=(ndiag * n + 2 * n * m) * Xt.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(data, Xp)
+    return out[:m, :n]
+
+
+# ---------------------------------------------------------------------------
 # Persistent padded layout: the zero-copy iteration hot path
 # ---------------------------------------------------------------------------
 #

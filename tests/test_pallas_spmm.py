@@ -95,3 +95,37 @@ def test_pallas_padded_odd_n():
     np.testing.assert_allclose(
         np.asarray(L.unpad(Yp)), np.asarray(Y2), rtol=1e-4, atol=1e-4
     )
+
+
+def test_pallas_grouped_matches_xla_2d():
+    from dune_eigensolver_tpu.kernels.dia_spmm import dia_spmm_t_pallas_grouped
+
+    A, Xt = _problem(N=24)
+    Y1 = dia_spmm_t_pallas_grouped(A, Xt, tile=256, interpret=True)
+    Y2 = dia_spmm_t_xla(A, Xt)
+    np.testing.assert_allclose(np.asarray(Y1), np.asarray(Y2), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_grouped_matches_xla_3d():
+    # wide-band clusters: offsets {-N^2}, {-N..N}, {+N^2}
+    from dune_eigensolver_tpu.kernels.dia_spmm import dia_spmm_t_pallas_grouped
+
+    N, m = 8, 8
+    A = problems.laplacian_dirichlet_3d(N, dtype=np.float32)
+    n = A.shape[0]
+    Xt = jax.random.normal(jax.random.PRNGKey(5), (m, n), dtype=np.float32)
+    Y1 = dia_spmm_t_pallas_grouped(A, Xt, tile=128, interpret=True)
+    Y2 = dia_spmm_t_xla(A, Xt)
+    np.testing.assert_allclose(np.asarray(Y1), np.asarray(Y2), rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_grouped_odd_sizes():
+    from dune_eigensolver_tpu.kernels.dia_spmm import dia_spmm_t_pallas_grouped
+
+    N, m = 7, 8  # n = 343, not tile-aligned
+    A = problems.laplacian_dirichlet_3d(N, dtype=np.float32)
+    n = A.shape[0]
+    Xt = jax.random.normal(jax.random.PRNGKey(6), (m, n), dtype=np.float32)
+    Y1 = dia_spmm_t_pallas_grouped(A, Xt, tile=128, interpret=True)
+    Y2 = dia_spmm_t_xla(A, Xt)
+    np.testing.assert_allclose(np.asarray(Y1), np.asarray(Y2), rtol=1e-4, atol=1e-4)
