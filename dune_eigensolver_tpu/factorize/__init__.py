@@ -6,6 +6,10 @@ from dune_eigensolver_tpu.factorize.banded import (
     factorize_banded_device,
 )
 from dune_eigensolver_tpu.factorize.cg import cg_inverse_factory, cg_solve
+from dune_eigensolver_tpu.factorize.chebyshev import (
+    chebyshev_apply,
+    chebyshev_inverse_factory,
+)
 from dune_eigensolver_tpu.factorize.host_lu import (
     FactorizedMatrix,
     factorize,
@@ -62,6 +66,8 @@ __all__ = [
     "factorize_banded_device",
     "cg_inverse_factory",
     "cg_solve",
+    "chebyshev_apply",
+    "chebyshev_inverse_factory",
     "FactorizedMatrix",
     "factorize",
     "lu_inverse_factory",

@@ -2,9 +2,10 @@
 >= 10M dof on ONE chip (the BASELINE.md north-star problem, single-chip
 slice), via LOBPCG with a loose-CG preconditioner — no factorization.
 
-    python experiments_3d_10m.py [N] [nev] [cgiter]
+    python experiments_3d_10m.py [N] [nev] [precond]
 
-N=216 -> n = 10,077,696 dof.
+N=216 -> n = 10,077,696 dof. precond: "cgK" (Jacobi-CG, K iterations) or
+"chebD[,COND]" (degree-D Chebyshev on [lmax/COND, lmax]); default cg25.
 """
 
 import sys
@@ -14,7 +15,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dune_eigensolver_tpu.factorize import cg_inverse_factory
+from dune_eigensolver_tpu.factorize import (
+    cg_inverse_factory,
+    chebyshev_inverse_factory,
+)
 from dune_eigensolver_tpu.oracle.analytic import eigenvalues_laplace_dirichlet_3d
 from dune_eigensolver_tpu.solvers import lobpcg_generalized
 from dune_eigensolver_tpu.sparse import problems
@@ -24,7 +28,7 @@ from dune_eigensolver_tpu.sparse.formats import DIAMatrix
 def main():
     N = int(sys.argv[1]) if len(sys.argv) > 1 else 216
     nev = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    cgiter = int(sys.argv[3]) if len(sys.argv) > 3 else 25
+    spec = sys.argv[3] if len(sys.argv) > 3 else "cg25"
     dtype = np.float32
 
     t0 = time.perf_counter()
@@ -37,7 +41,14 @@ def main():
     t_build = time.perf_counter() - t0
     print(f"build+upload: n={n:,} in {t_build:.1f}s", flush=True)
 
-    prec = cg_inverse_factory(rtol=1e-2, maxiter=cgiter)
+    if spec.startswith("cheb"):
+        parts = spec[4:].split(",")
+        deg = int(parts[0]) if parts[0] else 16
+        cond = float(parts[1]) if len(parts) > 1 else 30.0
+        prec = chebyshev_inverse_factory(degree=deg, cond_target=cond)
+    else:
+        prec = cg_inverse_factory(rtol=1e-2, maxiter=int(spec[2:] or 25))
+    print(f"precond: {spec}", flush=True)
     run = lambda: lobpcg_generalized(
         A, B, nev=nev, tol=2e-3, maxiter=300, shift=0.0, precond=prec,
         min_iter=3,
