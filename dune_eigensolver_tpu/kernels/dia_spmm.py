@@ -6,26 +6,40 @@ kernels_avx2.hh:1021, kernels_neon.hh:1314). The reference streams the matrix
 once per 8-RHS block with the RHS block contiguous in memory; here the
 multivector is stored *transposed* as (m, n) — m on sublanes (8 = one f32
 sublane group), n on lanes — the direct TPU analogue of that layout, and the
-matrix diagonals stream through VMEM exactly once:
+matrix diagonals stream through VMEM exactly once.
 
-* grid over tiles of T columns of the (m, n) multivector;
-* the X window [j*T - H, (j+1)*T + H) (H = bandwidth halo) is DMA'd
-  HBM->VMEM with double buffering, so each X element is fetched ~(T+2H)/T
-  times (vs. ndiag times for the XLA slice formulation);
-* each diagonal contributes a static lane-shifted slice of the window times
-  the per-row coefficient — pure VPU FMAs, no gathers;
-* out-of-range diagonal entries are stored as zeros (format invariant), so
-  no masking is needed at the edges.
+Design (one unified kernel, ``padded_spmm``):
+
+* the multivector lives persistently in a zero-guarded buffer
+  (``PaddedLayout``): logical column i at buffer column i + G, zeros in the
+  guards. Chained applications Y = A X, X = A Y, ... never re-pad — guard
+  tiles only rewrite zeros, interior tiles compute. This mirrors how the
+  reference streams its MultiVector repeatedly without re-marshalling
+  (kernels_cpp.hh:626-657 operate in place on preallocated blocks).
+* the operator is pre-padded ONCE into the same geometry (``PaddedDIA``),
+  so the iteration loop moves exactly: diagonals once, X once (+ halo
+  overlap), Y once — the speed-of-light traffic model.
+* diagonal offsets are CLUSTERED (wide-band 3D stencils: {-N^2}, {-N..N},
+  {+N^2}); each cluster gets its own double-buffered HBM->VMEM window DMA
+  only as wide as tile + cluster span, so VMEM stays bounded regardless of
+  bandwidth. A narrow band is simply one cluster.
+* each diagonal contributes a static lane-shifted slice of its cluster
+  window times the per-row coefficient — pure VPU FMAs, no gathers.
+
+Measured (TPU v5e, n=4.2M 2D 5-point, m=8): the per-call-padding variant of
+round 1 ran at ~312 GB/s effective because every call copied X (and the
+padded variant even re-padded the 84 MB diagonal array per call); the
+persistent geometry removes those copies entirely.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -50,345 +64,388 @@ def dia_spmm_t_xla(A: DIAMatrix, Xt: jax.Array) -> jax.Array:
     return acc
 
 
-def _kernel(offsets, T, H, mpad, ndiag, data_ref, x_hbm, out_ref, xbuf, sems):
-    j = pl.program_id(0)
-    nt = pl.num_programs(0)
+def _group_offsets(offsets, T):
+    """Cluster diagonal offsets so each cluster's span is <= T.
 
-    def dma(slot, tile):
+    Returns (groups, span_max) where each group is (fl_base, members):
+    fl_base = 128-aligned floor of the smallest offset, members a tuple of
+    (diag_index, offset) sorted ascending.
+    """
+    pairs = sorted(enumerate(offsets), key=lambda p: p[1])
+    groups = []
+    cur_first = None
+    for d, off in pairs:
+        if cur_first is not None and off - cur_first <= T:
+            groups[-1].append((d, off))
+        else:
+            cur_first = off
+            groups.append([(d, off)])
+    out = []
+    span_max = 0
+    for members in groups:
+        first = members[0][1]
+        last = members[-1][1]
+        span_max = max(span_max, last - first)
+        fl_base = (first // 128) * 128
+        out.append((fl_base, tuple(members)))
+    return tuple(out), span_max
+
+
+class PaddedLayout:
+    """Static geometry of the persistent zero-guarded transposed multivector.
+
+    Logical column i of an (m, n) multivector lives at buffer column i + G;
+    the guards [0, G) and [G + n, width) hold zeros which every kernel
+    application rewrites, so chained SpMMs never re-pad. G is a multiple of
+    the tile T and satisfies G >= halo + span + 256 so every cluster window
+    of every tile stays inside the buffer.
+
+    Build the layout from the UNION of all operator offsets that will share
+    it (e.g. A' and B of a generalized solve): ``guard`` must cover the
+    largest halo.
+    """
+
+    def __init__(self, n: int, m: int, offsets, tile: Optional[int] = None):
+        halo = max((abs(o) for o in offsets), default=0)
+        if tile is None:
+            tile = _pick_tile(n, m, offsets)
+        T = _round_up(max(tile, 128), 128)
+        groups, span_max = _group_offsets(offsets, T)
+        G = _round_up(halo + span_max + 256, T)
+        self.n, self.m = n, m
+        self.T, self.G = T, G
+        self.halo = halo
+        self.mpad = _round_up(max(m, 8), 8)
+        self.n_pad = _round_up(n, T)
+        self.nt = self.n_pad // T  # interior tiles
+        self.width = self.n_pad + 2 * G
+
+    def pad(self, Xt: jax.Array) -> jax.Array:
+        """(m, n) -> guarded (mpad', width); m may differ from layout m
+        (e.g. LOBPCG's 3m search blocks share the layout)."""
+        m, n = Xt.shape
+        if n != self.n:
+            raise ValueError(f"pad: Xt has n={n}, layout n={self.n}")
+        mpad = _round_up(max(m, 8), 8)
+        return jnp.pad(Xt, ((0, mpad - m), (self.G, self.width - n - self.G)))
+
+    def unpad(self, Xp: jax.Array, m: Optional[int] = None) -> jax.Array:
+        """guarded (mpad, width) -> (m, n)."""
+        m = self.m if m is None else m
+        return Xp[:m, self.G : self.G + self.n]
+
+    def pad_vec(self, v: jax.Array, fill=0.0) -> jax.Array:
+        """(n,) -> (width,) with ``fill`` in the guards (fill=1 for inverse
+        diagonals so guarded elementwise divisions stay finite)."""
+        out = jnp.full((self.width,), fill, v.dtype)
+        return lax.dynamic_update_slice(out, v, (self.G,))
+
+    def pad_operator(self, A: DIAMatrix) -> "PaddedDIA":
+        """Pre-pad the operator's diagonal data into this geometry (do this
+        ONCE at setup; the padded data is what iterates)."""
+        halo = max((abs(o) for o in A.offsets), default=0)
+        _, span = _group_offsets(A.offsets, self.T)
+        if self.G < halo + span + 256:
+            raise ValueError(
+                f"layout guard {self.G} too small for operator halo {halo}; "
+                "build the PaddedLayout from the union of operator offsets"
+            )
+        if A.shape[0] != self.n:
+            raise ValueError(f"pad_operator: A n={A.shape[0]}, layout n={self.n}")
+        data = jnp.pad(A.data, ((0, 0), (self.G, self.width - self.n - self.G)))
+        return PaddedDIA(
+            data=data,
+            offsets=A.offsets,
+            shape=A.shape,
+            tile=self.T,
+            guard=self.G,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class PaddedDIA:
+    """A DIA operator pre-padded into a PaddedLayout geometry.
+
+    ``data[d]`` has the logical diagonal at columns [guard, guard + n) and
+    zeros elsewhere; the zero guard coefficients are what rewrite the output
+    guard tiles to zero, preserving the layout invariant across chained
+    applications.
+    """
+
+    data: jax.Array  # (ndiag, width)
+    offsets: Tuple[int, ...]  # static
+    shape: Tuple[int, int]  # static, logical
+    tile: int  # static T
+    guard: int  # static G
+
+    @property
+    def n(self) -> int:
+        return self.shape[0]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        n = self.shape[0]
+        return int(sum(n - abs(o) for o in self.offsets))
+
+    def diagonal(self) -> jax.Array:
+        """Logical (n,) main diagonal."""
+        d = self.offsets.index(0)
+        return lax.dynamic_slice(self.data[d], (self.guard,), (self.n,))
+
+    def padded_diagonal(self, fill=1.0) -> jax.Array:
+        """(width,) main diagonal with ``fill`` in the guards (for Jacobi
+        scalings applied directly to guarded multivectors)."""
+        d = self.offsets.index(0)
+        i = lax.iota(jnp.int32, self.data.shape[1])
+        inside = (i >= self.guard) & (i < self.guard + self.n)
+        return jnp.where(inside, self.data[d], jnp.asarray(fill, self.dtype))
+
+
+jax.tree_util.register_dataclass(
+    PaddedDIA,
+    data_fields=["data"],
+    meta_fields=["offsets", "shape", "tile", "guard"],
+)
+
+
+def _pick_tile(n: int, m: int, offsets, budget: int = 10 * 2**20) -> int:
+    """Largest tile fitting the VMEM budget of the rolling-cache kernel:
+    3-slot rolling cache + 3-slot far-cluster windows + the auto pipeline's
+    double buffers for data/X/out. Measured on v5e (n=4.2M, 2D): T=32768
+    runs the kernel at the HBM copy roofline."""
+    mpad = _round_up(max(m, 8), 8)
+    ndiag = max(len(offsets), 1)
+    for T in (32768, 16384, 8192, 4096, 2048, 1024, 512, 256, 128):
+        center, far, span = _split_center_far(offsets, T)
+        w = _round_up(T + span + 256, 128)
+        use = (
+            3 * mpad * T  # rolling cache
+            + 3 * len(far) * mpad * w  # far windows
+            + 2 * (ndiag + 2 * mpad) * T  # pipeline double buffers
+        ) * 4
+        if use <= budget:
+            # prefer >= 4 interior tiles so the pipeline overlaps
+            if T > 128 and _round_up(n, T) // T < 4:
+                continue
+            return T
+    return 128
+
+
+def _split_center_far(offsets, T):
+    """Center = offsets servable from the rolling {prev, cur, next} tile
+    cache (|off| <= T); far = the rest, clustered for manual window DMAs."""
+    center = tuple(
+        (d, off) for d, off in enumerate(offsets) if -T <= off <= T
+    )
+    far_offs = [(d, off) for d, off in enumerate(offsets) if not (-T <= off <= T)]
+    groups = []
+    span_max = 0
+    for d, off in sorted(far_offs, key=lambda p: p[1]):
+        if groups and off - groups[-1][1][0][1] <= T:
+            groups[-1][1].append((d, off))
+        else:
+            groups.append([(off // 128) * 128, [(d, off)]])
+    out = []
+    for fl_base, members in groups:
+        span_max = max(span_max, members[-1][1] - members[0][1])
+        out.append((fl_base, tuple(members)))
+    return center, tuple(out), span_max
+
+
+def _kernel(center, far, T, W, width, mpad, data_ref, x_ref, *rest):
+    # Rolling 3-tile VMEM cache: at grid step t the auto-pipelined input
+    # block is X tile t; output tile j = t-1 is computed one step behind from
+    # cached tiles {j-1, j, j+1}, so X streams through HBM exactly once and
+    # Mosaic's pipeliner overlaps everything. Guard tiles have all-zero
+    # coefficients, so edges self-correct (uninitialized cache slots and
+    # clamped far windows only ever multiply zeros).
+    nfar = len(far)
+    if nfar:
+        xany_ref, out_ref, xroll, fbuf, sems = rest
+    else:
+        out_ref, xroll = rest
+    t = pl.program_id(0)
+    nt_total = pl.num_programs(0)
+
+    def far_dma(j, g):
+        fl_base, _ = far[g]
+        # window for output tile j starts at j*T + fl_base (clamped; guard
+        # tiles read arbitrary in-range data and multiply it by zero).
+        # Lifetime spans issue at step j-1 .. consume at step j+1, so slots
+        # rotate mod 3.
+        start = jnp.clip(j * T + fl_base, 0, width - W)
+        start = pl.multiple_of(start, 128)
         return pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(tile * T, T + 2 * H)],
-            xbuf.at[slot],
-            sems.at[slot],
+            xany_ref.at[:, pl.ds(start, W)],
+            fbuf.at[j % 3, g],
+            sems.at[j % 3, g],
         )
 
-    @pl.when(j == 0)
+    if nfar:
+        @pl.when(t == 0)
+        def _():
+            for g in range(nfar):
+                far_dma(0, g).start()
+
+        @pl.when(t + 1 < nt_total)
+        def _():
+            for g in range(nfar):
+                far_dma(t + 1, g).start()
+
+    @pl.when(t == 0)
     def _():
-        dma(0, 0).start()
+        # scratch may hold stale garbage (NaN x 0 = NaN would poison the
+        # guard-zero invariant); seed the slots that shift into view
+        xroll[1] = jnp.zeros_like(xroll[1])
+        xroll[2] = jnp.zeros_like(xroll[2])
 
-    @pl.when(j + 1 < nt)
+    # shift the rolling window: xroll[0]=tile t-2, [1]=t-1, [2]=t
+    xroll[0] = xroll[1]
+    xroll[1] = xroll[2]
+    xroll[2] = x_ref[...]
+
+    @pl.when(t > 0)
     def _():
-        dma((j + 1) % 2, j + 1).start()
+        left, centr, right = xroll[0], xroll[1], xroll[2]
+        acc = jnp.zeros((mpad, T), jnp.float32)
+        for d, off in center:
+            if off == 0:
+                win = centr
+            elif off < 0:
+                win = jnp.concatenate(
+                    [left[:, T + off :], centr[:, : T + off]], axis=1
+                )
+            else:
+                win = jnp.concatenate([centr[:, off:], right[:, :off]], axis=1)
+            acc = acc + data_ref[d][None, :].astype(jnp.float32) * win.astype(
+                jnp.float32
+            )
+        for g, (fl_base, members) in enumerate(far):
+            far_dma(t - 1, g).wait()
+            for d, off in members:
+                rel = off - fl_base
+                win = fbuf[(t - 1) % 3, g, :, rel : rel + T]
+                acc = acc + data_ref[d][None, :].astype(jnp.float32) * win.astype(
+                    jnp.float32
+                )
+        out_ref[:] = acc.astype(out_ref.dtype)
 
-    dma(j % 2, j).wait()
 
-    slot = j % 2
-    acc = jnp.zeros((mpad, T), jnp.float32)
-    for d in range(ndiag):
-        off = offsets[d]
-        window = xbuf[slot, :, H + off : H + off + T]  # (mpad, T) static slice
-        acc = acc + data_ref[d][None, :].astype(jnp.float32) * window.astype(
-            jnp.float32
+def padded_spmm(
+    Ap: PaddedDIA,
+    Xp: jax.Array,
+    donate: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Yp = (A @ X) in the persistent guarded layout: Xp/Yp (mpad, width)
+    with zero guards (see PaddedLayout). Zero marshalling in the hot loop.
+
+    ``donate=True`` aliases the output onto Xp's buffer (in-place update).
+    This matters inside iteration loops: a pallas output cannot be donated
+    into an XLA while-loop carry, so without aliasing XLA inserts a full
+    multivector copy per call (measured: 851us vs 610us per apply at n=4.2M
+    on v5e — the copy is ~40% of the wall time). Donation is SAFE only when
+    every offset >= -T: output tile j is written at grid step j+1, while X
+    tile j is read at step j and far windows for tile j+1 reach back at most
+    to tile j+1 - T/T = j; reads therefore always precede the overwrite.
+    Callers where X stays live afterwards can still pass donate=True — XLA
+    then materializes the copy itself (same cost as donate=False).
+    """
+    T, G = Ap.tile, Ap.guard
+    mpad, width = Xp.shape
+    if width != Ap.data.shape[1]:
+        raise ValueError(
+            f"padded_spmm: X width {width} != operator width {Ap.data.shape[1]}"
         )
-    out_ref[:] = acc.astype(out_ref.dtype)
+    if mpad % 8 != 0:
+        raise ValueError(f"padded_spmm: mpad={mpad} not a multiple of 8")
+    if donate and min(Ap.offsets, default=0) < -T:
+        raise ValueError(
+            "padded_spmm: donate=True unsafe for offsets below -tile "
+            f"(min offset {min(Ap.offsets)}, tile {T}); pass donate=False"
+        )
+    ndiag = len(Ap.offsets)
+    center, far, span = _split_center_far(Ap.offsets, T)
+    W = _round_up(T + span + 256, 128)
+    ntot = width // T
+    nfar = len(far)
+
+    def clamp(i):
+        return jnp.minimum(jnp.maximum(i, 0), ntot - 1)
+
+    kernel = functools.partial(_kernel, center, far, T, W, width, mpad)
+    n, m_log = Ap.n, mpad
+    in_specs = [
+        pl.BlockSpec((ndiag, T), lambda t: (0, clamp(t - 1))),
+        pl.BlockSpec((mpad, T), lambda t: (0, clamp(t))),
+    ]
+    operands = [Ap.data, Xp]
+    scratch = [pltpu.VMEM((3, mpad, T), Xp.dtype)]
+    if nfar:
+        # far clusters DMA their windows from a whole-array view; the
+        # blocked input above only exposes one tile at a time
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(Xp)
+        scratch += [
+            pltpu.VMEM((3, nfar, mpad, W), Xp.dtype),
+            pltpu.SemaphoreType.DMA((3, nfar)),
+        ]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((mpad, width), Xp.dtype),
+        grid=(ntot + 1,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((mpad, T), lambda t: (0, clamp(t - 1))),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ndiag * n * m_log,
+            bytes_accessed=(ndiag * n + 2 * n * m_log) * Xp.dtype.itemsize,
+            transcendentals=0,
+        ),
+        input_output_aliases={1: 0} if donate else {},
+        interpret=interpret,
+    )(*operands)
+
+
+# ---------------------------------------------------------------------------
+# Convenience wrappers (pad per call — for one-shot use and benchmarks; the
+# iteration hot path should hold PaddedDIA + guarded X and call padded_spmm)
+# ---------------------------------------------------------------------------
 
 
 def dia_spmm_t_pallas(
     A: DIAMatrix, Xt: jax.Array, tile: Optional[int] = None, interpret: bool = False
 ) -> jax.Array:
-    """Pallas DIA SpMM in the transposed (m, n) layout. Yt (m, n) = A @ X."""
+    """Pallas DIA SpMM in the transposed (m, n) layout. Yt (m, n) = A @ X.
+
+    Pads X (and the operator data) on every call — correct anywhere, but in
+    an iteration loop use ``PaddedLayout.pad_operator`` + ``padded_spmm``.
+    """
     m, n = Xt.shape
     if A.shape[1] != n:
         raise ValueError(f"dia_spmm_t_pallas: {A.shape} @ X^T with Xt {Xt.shape}")
-    halo = max((abs(o) for o in A.offsets), default=0)
-    H = _round_up(max(halo, 128), 128)
-    if tile is None:
-        # T >= H so neighbors stay within one adjacent window; cap VMEM use.
-        tile = max(8192, H)
-        tile = min(tile, 65536)
-    T = _round_up(max(tile, H), 128)
-    mpad = _round_up(m, 8)
-    ndiag = len(A.offsets)
-
-    n_pad = _round_up(n, T)
-    grid = n_pad // T
-    # pad X with H zeros both sides (+ tail to tile multiple)
-    Xp = jnp.pad(Xt, ((0, mpad - m), (H, n_pad - n + H)))
-    data = A.data
-    if n_pad != n:
-        data = jnp.pad(data, ((0, 0), (0, n_pad - n)))
-
-    kernel = functools.partial(_kernel, A.offsets, T, H, mpad, ndiag)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((mpad, n_pad), Xt.dtype),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((ndiag, T), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((mpad, T), lambda j: (0, j), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, mpad, T + 2 * H), Xt.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * ndiag * n * m,
-            bytes_accessed=(ndiag * n + 2 * n * m) * Xt.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(data, Xp)
-    return out[:m, :n]
+    L = PaddedLayout(n, m, A.offsets, tile=tile)
+    Ap = L.pad_operator(A)
+    return L.unpad(padded_spmm(Ap, L.pad(Xt), interpret=interpret), m)
 
 
-def dia_spmm_best(A: DIAMatrix, X: jax.Array) -> jax.Array:
-    """(n, m)-layout convenience wrapper over the Pallas kernel (transposes
-    in/out; for the zero-copy hot path use dia_spmm_t_pallas directly)."""
-    return dia_spmm_t_pallas(A, X.T).T
-
-
-# ---------------------------------------------------------------------------
-# Grouped-window kernel: wide-band stencils (3D 7-point: offsets +-N^2)
-# ---------------------------------------------------------------------------
-#
-# The single-window kernel above fetches [jT - H, (j+1)T + H) with H =
-# max|offset|; for a 3D operator H = N^2 and the window no longer fits VMEM.
-# But stencil offsets CLUSTER: {-N^2}, {-N..N}, {+N^2}. This kernel DMAs one
-# aligned window per cluster (each only as wide as the cluster's span) and
-# applies the same static lane-shifted FMAs within each window.
-
-
-def _group_offsets(offsets, T):
-    """Cluster diagonal offsets so each cluster's span fits a tile.
-    Returns list of (base, [(idx, off), ...]) with base 128-aligned <= off."""
-    pairs = sorted(enumerate(offsets), key=lambda p: p[1])
-    groups = []
-    cur = None
-    for d, off in pairs:
-        if cur is not None and off - cur[1][0][1] <= T:
-            cur[1].append((d, off))
-        else:
-            cur = (off, [(d, off)])
-            groups.append(cur)
-    out = []
-    for first_off, members in groups:
-        base = (first_off // 128) * 128  # aligned DMA base (floor)
-        out.append((base, members))
-    return out
-
-
-def _kernel_grouped(groups, T, W, mpad, data_ref, x_hbm, out_ref, xbuf, sems):
-    j = pl.program_id(0)
-    nt = pl.num_programs(0)
-    ngroups = len(groups)
-
-    def dma(slot, tile, g):
-        base, _ = groups[g]
-        start = pl.multiple_of(tile * T + base, 128)
-        return pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(start, W)],
-            xbuf.at[slot, g],
-            sems.at[slot, g],
-        )
-
-    @pl.when(j == 0)
-    def _():
-        for g in range(ngroups):
-            dma(0, 0, g).start()
-
-    @pl.when(j + 1 < nt)
-    def _():
-        for g in range(ngroups):
-            dma((j + 1) % 2, j + 1, g).start()
-
-    slot = j % 2
-    acc = jnp.zeros((mpad, T), jnp.float32)
-    for g, (base, members) in enumerate(groups):
-        dma(slot, j, g).wait()
-        for d, off in members:
-            rel = off - base  # in-window lane offset, [0, T + span)
-            window = xbuf[slot, g, :, rel : rel + T]
-            acc = acc + data_ref[d][None, :].astype(jnp.float32) * window.astype(
-                jnp.float32
-            )
-    out_ref[:] = acc.astype(out_ref.dtype)
-
-
-def dia_spmm_t_pallas_grouped(
-    A: DIAMatrix, Xt: jax.Array, tile: Optional[int] = None, interpret: bool = False
-) -> jax.Array:
-    """Pallas DIA SpMM for wide-band (e.g. 3D 7-point) operators in the
-    transposed (m, n) layout: one modest VMEM window per diagonal cluster
-    instead of one bandwidth-wide window. Yt (m, n) = A @ X."""
-    m, n = Xt.shape
-    if A.shape[1] != n:
-        raise ValueError(f"dia_spmm_t_pallas_grouped: {A.shape} vs Xt {Xt.shape}")
-    if tile is None:
-        tile = 8192
-    T = _round_up(tile, 128)
-    groups = _group_offsets(A.offsets, T)
-    # uniform window width: tile + max cluster span + alignment slack
-    span = max(
-        (members[-1][1] - base) for base, members in groups
-    )
-    W = _round_up(T + span + 128, 128)
-    mpad = _round_up(m, 8)
-    ndiag = len(A.offsets)
-
-    n_pad = _round_up(n, T)
-    grid = n_pad // T
-    halo = max(abs(o) for o in A.offsets)
-    # left/right guard so every group window [jT + base + G, ... + W) stays
-    # inside the padded buffer: start >= G - halo - 128 > 0 and
-    # end <= n_pad + halo + T + 256 + G <= n_pad + 2G
-    G = _round_up(halo + T + 256, 128)
-    Xp = jnp.pad(Xt, ((0, mpad - m), (G, n_pad - n + G)))
-    data = A.data
-    if n_pad != n:
-        data = jnp.pad(data, ((0, 0), (0, n_pad - n)))
-
-    # shift group bases by the guard so DMA starts are >= 0
-    groups_sh = [
-        (base + G, members) for base, members in groups
-    ]
-    kernel = functools.partial(_kernel_grouped, tuple(groups_sh), T, W, mpad)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((mpad, n_pad), Xt.dtype),
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec((ndiag, T), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((mpad, T), lambda j: (0, j), memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, len(groups_sh), mpad, W), Xt.dtype),
-            pltpu.SemaphoreType.DMA((2, len(groups_sh))),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * ndiag * n * m,
-            bytes_accessed=(ndiag * n + 2 * n * m) * Xt.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(data, Xp)
-    return out[:m, :n]
-
-
-# ---------------------------------------------------------------------------
-# Persistent padded layout: the zero-copy iteration hot path
-# ---------------------------------------------------------------------------
-#
-# dia_spmm_t_pallas pads X by the halo on every call; inside an iteration
-# loop that pad is a full extra multivector copy per SpMM (~40% of the
-# kernel's own traffic at m=8). The padded variant keeps the multivector in
-# a (mpad, T + n_pad + T) buffer with one full tile of zeros on each side, so
-# chained applications Y = A X, X = A Y, ... never touch the halo again:
-# edge tiles only rewrite zeros, interior tiles compute. This mirrors how
-# the reference streams its MultiVector repeatedly without re-marshalling
-# (kernels_cpp.hh:626-657 operate in place on preallocated blocks).
-
-
-class PaddedLayout:
-    """Static geometry of the persistent padded transposed multivector."""
-
-    def __init__(self, n: int, m: int, offsets, tile: Optional[int] = None):
-        halo = max((abs(o) for o in offsets), default=0)
-        H = _round_up(max(halo, 128), 128)
-        if tile is None:
-            tile = max(8192, H)
-            tile = min(tile, 65536)
-        T = _round_up(max(tile, H), 128)
-        self.n, self.m = n, m
-        self.H, self.T = H, T
-        self.mpad = _round_up(m, 8)
-        self.n_pad = _round_up(n, T)
-        self.nt = self.n_pad // T  # interior tiles
-        self.width = self.n_pad + 2 * T
-
-    def pad(self, Xt: jax.Array) -> jax.Array:
-        """(m, n) -> padded (mpad, width)."""
-        m, n = Xt.shape
-        return jnp.pad(
-            Xt, ((0, self.mpad - m), (self.T, self.width - n - self.T))
-        )
-
-    def unpad(self, Xp: jax.Array) -> jax.Array:
-        """padded (mpad, width) -> (m, n)."""
-        return Xp[: self.m, self.T : self.T + self.n]
-
-
-def _kernel_padded(offsets, T, H, mpad, ndiag, data_ref, x_hbm, out_ref, xbuf, sems):
-    t = pl.program_id(0)
-    nt = pl.num_programs(0)  # interior tiles + 2 edge tiles
-    interior = (t > 0) & (t + 1 < nt)
-
-    def dma(slot, tile):
-        # window [tile*T - H, tile*T + T + H) of the padded buffer; only
-        # issued for interior tiles, where tile >= 1 keeps it in range.
-        # T and H are multiples of 128 but Mosaic's divisibility prover does
-        # not see through the subtraction — assert it.
-        start = pl.multiple_of(tile * T - H, 128)
-        return pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(start, T + 2 * H)],
-            xbuf.at[slot],
-            sems.at[slot],
-        )
-
-    @pl.when(t == 0)
-    def _():  # prefetch the first interior tile while writing halo zeros
-        dma(1 % 2, 1).start()
-
-    @pl.when((t + 2 < nt) & (t > 0))
-    def _():
-        dma((t + 1) % 2, t + 1).start()
-
-    @pl.when(~interior)
-    def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
-
-    @pl.when(interior)
-    def _():
-        dma(t % 2, t).wait()
-        slot = t % 2
-        acc = jnp.zeros((mpad, T), jnp.float32)
-        for d in range(ndiag):
-            off = offsets[d]
-            window = xbuf[slot, :, H + off : H + off + T]
-            acc = acc + data_ref[d][None, :].astype(jnp.float32) * window.astype(
-                jnp.float32
-            )
-        out_ref[:] = acc.astype(out_ref.dtype)
+# wide-band operators are handled by the same clustered kernel
+dia_spmm_t_pallas_grouped = dia_spmm_t_pallas
 
 
 def dia_spmm_t_pallas_padded(
     A: DIAMatrix, Xp: jax.Array, layout: PaddedLayout, interpret: bool = False
 ) -> jax.Array:
-    """Yp = (A @ X) in the persistent padded layout (see PaddedLayout).
+    """Back-compat wrapper: pads the operator per call, then ``padded_spmm``.
+    Prefer ``layout.pad_operator(A)`` once + ``padded_spmm`` in loops."""
+    return padded_spmm(layout.pad_operator(A), Xp, interpret=interpret)
 
-    ``Xp`` must be ``layout.pad``-ded; the result has the same shape with the
-    halo tiles zeroed, so applications chain with zero marshalling cost.
-    """
-    L = layout
-    if Xp.shape != (L.mpad, L.width):
-        raise ValueError(f"padded X has shape {Xp.shape}, want {(L.mpad, L.width)}")
-    ndiag = len(A.offsets)
-    # coefficients padded one tile each side: halo coefficients are zero,
-    # which is what writes the output halo tiles to zero
-    data = A.data
-    pad_r = L.n_pad - L.n
-    data = jnp.pad(data, ((0, 0), (L.T, pad_r + L.T)))
 
-    kernel = functools.partial(_kernel_padded, A.offsets, L.T, L.H, L.mpad, ndiag)
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((L.mpad, L.width), Xp.dtype),
-        grid=(L.nt + 2,),
-        in_specs=[
-            pl.BlockSpec((ndiag, L.T), lambda t: (0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (L.mpad, L.T), lambda t: (0, t), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, L.mpad, L.T + 2 * L.H), Xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * ndiag * L.n * L.m,
-            bytes_accessed=(ndiag * L.n + 2 * L.n * L.m) * Xp.dtype.itemsize,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(data, Xp)
+def dia_spmm_best(A: DIAMatrix, X: jax.Array) -> jax.Array:
+    """(n, m)-layout convenience wrapper over the Pallas kernel (transposes
+    in/out; for the zero-copy hot path use padded_spmm directly)."""
+    return dia_spmm_t_pallas(A, X.T).T

@@ -57,8 +57,53 @@ def test_pallas_padded_matches_xla_interpret(tile):
     # halo and tail stay zero so applications chain without re-padding
     Yp_np = np.asarray(Yp)
     interior = np.zeros(Yp_np.shape, dtype=bool)
-    interior[:m, L.T : L.T + n] = True
+    interior[:m, L.G : L.G + n] = True
     assert np.all(Yp_np[~interior] == 0.0)
+
+
+def test_padded_operator_persistent():
+    # the hot-path API: pad the operator once, chain padded_spmm calls
+    from dune_eigensolver_tpu.kernels.dia_spmm import padded_spmm
+
+    A, Xt = _problem(N=16)
+    m, n = Xt.shape
+    L = PaddedLayout(n, m, A.offsets, tile=256)
+    Ap = L.pad_operator(A)
+    Yp = padded_spmm(Ap, L.pad(Xt), interpret=True)
+    Zp = padded_spmm(Ap, Yp, interpret=True)
+    Z2 = dia_spmm_t_xla(A, dia_spmm_t_xla(A, Xt))
+    np.testing.assert_allclose(
+        np.asarray(L.unpad(Zp)), np.asarray(Z2), rtol=1e-4, atol=1e-4
+    )
+    # diagonal helpers
+    np.testing.assert_allclose(
+        np.asarray(Ap.diagonal()), np.asarray(A.diagonal()), rtol=1e-6
+    )
+    pd = np.asarray(Ap.padded_diagonal(fill=1.0))
+    assert pd.shape == (L.width,)
+    np.testing.assert_allclose(pd[L.G : L.G + n], np.asarray(A.diagonal()), rtol=1e-6)
+    assert np.all(pd[: L.G] == 1.0) and np.all(pd[L.G + n :] == 1.0)
+
+
+def test_padded_layout_shared_between_operators():
+    # generalized solve: A' and B share one layout built from offset union
+    A, Xt = _problem(N=16)
+    m, n = Xt.shape
+    B = problems.laplacian_b_2d(16, 3, dtype=np.float32)
+    from dune_eigensolver_tpu.kernels.dia_spmm import padded_spmm
+
+    union = tuple(sorted(set(A.offsets) | set(B.offsets)))
+    L = PaddedLayout(n, m, union, tile=256)
+    Ap, Bp = L.pad_operator(A), L.pad_operator(B)
+    Xp = L.pad(Xt)
+    for op, ref in ((Ap, A), (Bp, B)):
+        Yp = padded_spmm(op, Xp, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(L.unpad(Yp)),
+            np.asarray(dia_spmm_t_xla(ref, Xt)),
+            rtol=1e-5,
+            atol=1e-5,
+        )
 
 
 def test_pallas_padded_chains():
