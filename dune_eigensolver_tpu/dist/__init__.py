@@ -1,7 +1,9 @@
 from dune_eigensolver_tpu.dist.mesh import ROW_AXIS, init_distributed, make_mesh
 from dune_eigensolver_tpu.dist.sharded import (
     dia_spmm_halo,
+    dia_spmm_halo_t,
     halo_exchange,
+    halo_exchange_t,
     psum_reduce,
     sharded_generalized_inverse,
     sharded_lobpcg_generalized,
@@ -14,7 +16,9 @@ __all__ = [
     "make_mesh",
     "init_distributed",
     "dia_spmm_halo",
+    "dia_spmm_halo_t",
     "halo_exchange",
+    "halo_exchange_t",
     "psum_reduce",
     "sharded_generalized_inverse",
     "sharded_lobpcg_generalized",

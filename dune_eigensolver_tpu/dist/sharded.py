@@ -7,6 +7,8 @@ dune-eigensolver.cc:742-748; its only concurrency is benchmark-replica
 threads). TPU-natively:
 
 * the matrix (DIA) and multivector rows are sharded over a 1D mesh axis;
+  every shard holds the TRANSPOSED local block (m, nloc) — matrix rows on
+  the lane dimension, the same layout the single-chip Pallas kernel streams;
 * SpMM needs off-shard X rows up to the bandwidth: neighbors exchange halo
   slabs via ``lax.ppermute`` (non-cyclic, so edge shards receive zeros —
   exactly the Dirichlet zero-padding the local kernel expects), overlapping
@@ -32,22 +34,83 @@ from dune_eigensolver_tpu.dist.mesh import ROW_AXIS, make_mesh
 from dune_eigensolver_tpu.sparse.formats import DIAMatrix
 
 
-def halo_exchange(x_local: jax.Array, halo: int, axis: str = ROW_AXIS):
-    """Gather ``halo`` boundary rows from each neighbor.
+def halo_exchange_t(x_local: jax.Array, halo: int, axis: str = ROW_AXIS):
+    """Gather ``halo`` boundary lanes from each neighbor.
 
-    Returns x_ext of shape (halo + nloc + halo, m). Edge shards get zeros in
-    the missing direction (lax.ppermute semantics), matching the zero
-    padding of the single-chip DIA SpMM.
+    x_local: (m, nloc). Returns x_ext of shape (m, halo + nloc + halo).
+    Edge shards get zeros in the missing direction (lax.ppermute
+    semantics), matching the zero padding of the single-chip DIA SpMM.
     """
     ndev = lax.axis_size(axis)
     if ndev == 1:
-        pad = jnp.zeros((halo,) + x_local.shape[1:], x_local.dtype)
-        return jnp.concatenate([pad, x_local, pad], axis=0)
+        pad = jnp.zeros(x_local.shape[:1] + (halo,), x_local.dtype)
+        return jnp.concatenate([pad, x_local, pad], axis=1)
     fwd = [(i, i + 1) for i in range(ndev - 1)]  # my top rows -> right's left halo
     bwd = [(i + 1, i) for i in range(ndev - 1)]
-    from_left = lax.ppermute(x_local[-halo:], axis, fwd)
-    from_right = lax.ppermute(x_local[:halo], axis, bwd)
-    return jnp.concatenate([from_left, x_local, from_right], axis=0)
+    from_left = lax.ppermute(x_local[:, -halo:], axis, fwd)
+    from_right = lax.ppermute(x_local[:, :halo], axis, bwd)
+    return jnp.concatenate([from_left, x_local, from_right], axis=1)
+
+
+def dia_spmm_halo_t(
+    data_local: jax.Array,
+    offsets: tuple,
+    x_local: jax.Array,
+    axis: str = ROW_AXIS,
+) -> jax.Array:
+    """Local rows of ``(A @ X)^T`` for a row-sharded DIA matrix, structured
+    for communication/compute overlap. Transposed layout throughout.
+
+    data_local: (ndiag, nloc) — this shard's rows of every diagonal.
+    x_local: (m, nloc). Requires halo = max|offset| <= nloc.
+
+    The interior FMA sweep consumes only local lanes (halo positions read
+    zero padding), so it has no data dependence on the ``ppermute`` results;
+    XLA's latency-hiding scheduler can run the collective concurrently.
+    Only the O(halo) edge-correction lanes wait on the neighbors.
+    """
+    m, nloc = x_local.shape
+    halo = max((abs(o) for o in offsets), default=0)
+    if halo > nloc:
+        raise ValueError(
+            f"dia_spmm_halo_t: bandwidth {halo} exceeds local rows {nloc}; "
+            "use fewer shards or a wider partition"
+        )
+    if halo == 0:
+        return data_local[0][None, :] * x_local
+
+    ndev = lax.axis_size(axis)
+    if ndev > 1:  # launch the exchange first; nothing below consumes it yet
+        fwd = [(i, i + 1) for i in range(ndev - 1)]
+        bwd = [(i + 1, i) for i in range(ndev - 1)]
+        from_left = lax.ppermute(x_local[:, -halo:], axis, fwd)
+        from_right = lax.ppermute(x_local[:, :halo], axis, bwd)
+
+    # interior sweep on zero-padded local lanes (overlappable with the halos)
+    Xp = jnp.pad(x_local, ((0, 0), (halo, halo)))
+    acc = jnp.zeros_like(x_local)
+    for d, off in enumerate(offsets):
+        shifted = lax.slice(Xp, (0, halo + off), (m, halo + off + nloc))
+        acc = acc + data_local[d][None, :] * shifted
+
+    if ndev > 1:
+        # edge corrections: the first/last |off| lanes of each off-diagonal
+        # read neighbor lanes. All slices are static.
+        for d, off in enumerate(offsets):
+            if off < 0:
+                acc = acc.at[:, :-off].add(
+                    data_local[d][None, :-off] * from_left[:, halo + off :]
+                )
+            elif off > 0:
+                acc = acc.at[:, nloc - off :].add(
+                    data_local[d][None, nloc - off :] * from_right[:, :off]
+                )
+    return acc
+
+
+def halo_exchange(x_local: jax.Array, halo: int, axis: str = ROW_AXIS):
+    """Column-layout wrapper over ``halo_exchange_t`` (x_local (nloc, m))."""
+    return halo_exchange_t(x_local.T, halo, axis).T
 
 
 def dia_spmm_halo(
@@ -56,54 +119,8 @@ def dia_spmm_halo(
     x_local: jax.Array,
     axis: str = ROW_AXIS,
 ) -> jax.Array:
-    """Local rows of ``A @ X`` for a row-sharded DIA matrix, structured for
-    communication/compute overlap.
-
-    data_local: (ndiag, nloc) — this shard's rows of every diagonal.
-    x_local: (nloc, m). Requires halo = max|offset| <= nloc.
-
-    The interior FMA sweep consumes only local rows (halo positions read
-    zero padding), so it has no data dependence on the ``ppermute`` results;
-    XLA's latency-hiding scheduler can run the collective concurrently.
-    Only the O(halo) edge-correction rows wait on the neighbors.
-    """
-    nloc, m = x_local.shape
-    halo = max((abs(o) for o in offsets), default=0)
-    if halo > nloc:
-        raise ValueError(
-            f"dia_spmm_halo: bandwidth {halo} exceeds local rows {nloc}; "
-            "use fewer shards or a wider partition"
-        )
-    if halo == 0:
-        return data_local[0][:, None] * x_local
-
-    ndev = lax.axis_size(axis)
-    if ndev > 1:  # launch the exchange first; nothing below consumes it yet
-        fwd = [(i, i + 1) for i in range(ndev - 1)]
-        bwd = [(i + 1, i) for i in range(ndev - 1)]
-        from_left = lax.ppermute(x_local[-halo:], axis, fwd)
-        from_right = lax.ppermute(x_local[:halo], axis, bwd)
-
-    # interior sweep on zero-padded local rows (overlappable with the halos)
-    Xp = jnp.pad(x_local, ((halo, halo), (0, 0)))
-    acc = jnp.zeros_like(x_local)
-    for d, off in enumerate(offsets):
-        shifted = lax.slice(Xp, (halo + off, 0), (halo + off + nloc, m))
-        acc = acc + data_local[d][:, None] * shifted
-
-    if ndev > 1:
-        # edge corrections: the first/last |off| rows of each off-diagonal
-        # read neighbor rows. All slices are static.
-        for d, off in enumerate(offsets):
-            if off < 0:
-                acc = acc.at[: -off].add(
-                    data_local[d][:-off, None] * from_left[halo + off :]
-                )
-            elif off > 0:
-                acc = acc.at[nloc - off :].add(
-                    data_local[d][nloc - off :, None] * from_right[:off]
-                )
-    return acc
+    """Column-layout wrapper over ``dia_spmm_halo_t`` (x_local (nloc, m))."""
+    return dia_spmm_halo_t(data_local, offsets, x_local.T, axis).T
 
 
 def psum_reduce(axis: str = ROW_AXIS):
@@ -121,6 +138,14 @@ def _check_divisible(n: int, mesh: Mesh):
         raise ValueError(f"row count {n} not divisible by mesh size {ndev}")
 
 
+def _random_q0_t(seed, n, m, mesh, axis, dtype):
+    """Transposed start block sharded over lanes: (m, n) with rows split."""
+    from dune_eigensolver_tpu.solvers.standard import random_multivector_t
+
+    Q0 = random_multivector_t(jax.random.PRNGKey(seed), n, m, dtype)
+    return jax.device_put(Q0, NamedSharding(mesh, P(None, axis)))
+
+
 def sharded_standard_largest(
     A: DIAMatrix,
     nev: int,
@@ -136,7 +161,6 @@ def sharded_standard_largest(
     """Multi-chip standard_largest: same semantics, rows sharded over mesh."""
     from dune_eigensolver_tpu.solvers.standard import (
         padded_width,
-        random_multivector,
         standard_largest,
     )
 
@@ -146,11 +170,10 @@ def sharded_standard_largest(
     A_sh = A.with_shifted_diagonal(shift) if shift != 0.0 else A
     A_sh = _shard_dia(A_sh, mesh, axis)
     m = padded_width(nev, block)
-    Q0 = random_multivector(jax.random.PRNGKey(seed), n, m, A.dtype)
-    Q0 = jax.device_put(Q0, NamedSharding(mesh, P(axis, None)))
+    Q0 = _random_q0_t(seed, n, m, mesh, axis, A.dtype)
 
     def local_solver(adata, q0):
-        apply_a = partial(dia_spmm_halo, adata, A.offsets, axis=axis)
+        apply_a = partial(dia_spmm_halo_t, adata, A.offsets, axis=axis)
         res = standard_largest(
             _LocalOperand(adata, A.offsets, A.shape, q0.dtype),
             nev,
@@ -170,7 +193,7 @@ def sharded_standard_largest(
         jax.shard_map(
             local_solver,
             mesh=mesh,
-            in_specs=(P(None, axis), P(axis, None)),
+            in_specs=(P(None, axis), P(None, axis)),
             out_specs=_result_specs(axis),
         )
     )
@@ -195,8 +218,8 @@ def sharded_standard_inverse(
     the matrix-free CG inverse (fully local SpMM + psum dots). The direct
     banded solve stays single-chip — its block recursion is sequential
     across shards, so the distributed inverse is Krylov by design."""
-    from dune_eigensolver_tpu.factorize.cg import cg_solve
-    from dune_eigensolver_tpu.solvers.standard import padded_width, random_multivector
+    from dune_eigensolver_tpu.factorize.cg import cg_solve_t
+    from dune_eigensolver_tpu.solvers.standard import padded_width
 
     mesh = mesh or make_mesh(axis=axis)
     n = A.shape[0]
@@ -204,19 +227,18 @@ def sharded_standard_inverse(
     A_sh = A.with_shifted_diagonal(shift) if shift != 0.0 else A
     A_shd = _shard_dia(A_sh, mesh, axis)
     m = padded_width(nev, block)
-    Q0 = random_multivector(jax.random.PRNGKey(seed), n, m, A.dtype)
-    Q0 = jax.device_put(Q0, NamedSharding(mesh, P(axis, None)))
+    Q0 = _random_q0_t(seed, n, m, mesh, axis, A.dtype)
     reduce_ = psum_reduce(axis)
 
     def local_solver(adata, q0):
-        apply_a = partial(dia_spmm_halo, adata, A.offsets, axis=axis)
-        diag_local = adata[A.offsets.index(0)]
+        apply_a = partial(dia_spmm_halo_t, adata, A.offsets, axis=axis)
+        inv_diag_local = 1.0 / adata[A.offsets.index(0)]
 
         def inv_fn(_aux, X):
-            Y, _ = cg_solve(
+            Y, _ = cg_solve_t(
                 apply_a,
                 X,
-                diag=diag_local,
+                inv_diag=inv_diag_local,
                 rtol=cg_rtol,
                 maxiter=cg_maxiter,
                 gram_reduce=reduce_,
@@ -238,7 +260,7 @@ def sharded_standard_inverse(
         jax.shard_map(
             local_solver,
             mesh=mesh,
-            in_specs=(P(None, axis), P(axis, None)),
+            in_specs=(P(None, axis), P(None, axis)),
             out_specs=_result_specs(axis),
         )
     )
@@ -248,20 +270,20 @@ def sharded_standard_inverse(
 def _sharded_inverse_core(apply_a, inv_fn, Q0, gram_reduce, cfg):
     """standard_inverse iteration with a caller-supplied operator
     application for the Rayleigh quotients (row-sharded SpMM needs the halo
-    exchange, not a local-slice spmm)."""
+    exchange, not a local-slice spmm). Transposed layout."""
     from functools import partial as _partial
 
     from dune_eigensolver_tpu.ops.ortho import (
-        dot_products_diagonal,
-        orthonormalize_blocked,
+        dot_products_diagonal_t,
+        orthonormalize_blocked_t,
     )
-    from dune_eigensolver_tpu.solvers.result import EigenResult, sort_result
+    from dune_eigensolver_tpu.solvers.result import EigenResult, sort_result_t
 
     nev, tol, maxiter, shift, block, ortho_iterations, dtype = cfg
     shift_ = jnp.asarray(shift, dtype)
-    m = Q0.shape[1]
+    m = Q0.shape[0]
     ortho = _partial(
-        orthonormalize_blocked,
+        orthonormalize_blocked_t,
         block=block,
         gram_reduce=gram_reduce,
         iterations=ortho_iterations,
@@ -272,7 +294,7 @@ def _sharded_inverse_core(apply_a, inv_fn, Q0, gram_reduce, cfg):
         Q, s_prev, k, _ = state
         Q2 = ortho(inv_fn(None, Q))
         AQ2 = apply_a(Q2)
-        s = gram_reduce(dot_products_diagonal(Q2, AQ2)) - shift_
+        s = gram_reduce(dot_products_diagonal_t(Q2, AQ2)) - shift_
         distance = jnp.max(jnp.abs(s - s_prev))
         return Q2, s, k + 1, distance
 
@@ -284,10 +306,10 @@ def _sharded_inverse_core(apply_a, inv_fn, Q0, gram_reduce, cfg):
     Q, s, k, distance = lax.while_loop(
         cond, body, (Q, s0, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype))
     )
-    evals, evecs = sort_result(s, Q, nev, descending=False)
+    evals, evecs_t = sort_result_t(s, Q, nev, descending=False)
     return EigenResult(
         eigenvalues=evals,
-        eigenvectors=evecs,
+        eigenvectors=evecs_t.T,
         iterations=k,
         converged=distance < tol,
         criterion=distance,
@@ -315,9 +337,9 @@ def sharded_generalized_inverse(
     """Multi-chip generalized_inverse. The inner inverse application is the
     matrix-free CG operator (fully local SpMM + psum dots); the host-LU
     direct solve is single-chip only in this round."""
-    from dune_eigensolver_tpu.factorize.cg import cg_solve
+    from dune_eigensolver_tpu.factorize.cg import cg_solve_t
     from dune_eigensolver_tpu.solvers.generalized import generalized_inverse
-    from dune_eigensolver_tpu.solvers.standard import padded_width, random_multivector
+    from dune_eigensolver_tpu.solvers.standard import padded_width
 
     mesh = mesh or make_mesh(axis=axis)
     n = A.shape[0]
@@ -331,28 +353,28 @@ def sharded_generalized_inverse(
     A_op = _shard_dia(A_op, mesh, axis)
     B_sh = _shard_dia(B, mesh, axis)
     m = padded_width(nev, block)
-    Q0 = random_multivector(jax.random.PRNGKey(seed), n, m, A.dtype)
-    Q0 = jax.device_put(Q0, NamedSharding(mesh, P(axis, None)))
+    Q0 = _random_q0_t(seed, n, m, mesh, axis, A.dtype)
 
     reduce_ = psum_reduce(axis)
 
     def local_solver(adata, bdata, q0):
-        apply_a = partial(dia_spmm_halo, adata, A.offsets, axis=axis)
-        apply_b = partial(dia_spmm_halo, bdata, B.offsets, axis=axis)
-        diag_local = adata[A.offsets.index(0)]
+        apply_a = partial(dia_spmm_halo_t, adata, A.offsets, axis=axis)
+        apply_b = partial(dia_spmm_halo_t, bdata, B.offsets, axis=axis)
+        inv_diag_local = 1.0 / adata[A.offsets.index(0)]
 
         def inverse(_unused):
             def solve(X):
-                Y, _ = cg_solve(
+                Y, _ = cg_solve_t(
                     apply_a,
                     X,
-                    diag=diag_local,
+                    inv_diag=inv_diag_local,
                     rtol=cg_rtol,
                     maxiter=cg_maxiter,
                     gram_reduce=reduce_,
                 )
                 return Y
 
+            solve.layout_t = True
             return solve
 
         return generalized_inverse(
@@ -379,7 +401,7 @@ def sharded_generalized_inverse(
         jax.shard_map(
             local_solver,
             mesh=mesh,
-            in_specs=(P(None, axis), P(None, axis), P(axis, None)),
+            in_specs=(P(None, axis), P(None, axis), P(None, axis)),
             out_specs=_result_specs(axis),
         )
     )
@@ -410,9 +432,9 @@ def sharded_lobpcg_generalized(
     shift-invert solvers' inner solve). All Gram reductions psum over the
     row axis; SpMMs halo-exchange over ICI.
     """
-    from dune_eigensolver_tpu.factorize.cg import cg_solve
+    from dune_eigensolver_tpu.factorize.cg import cg_solve_t
     from dune_eigensolver_tpu.solvers.lobpcg import lobpcg_generalized
-    from dune_eigensolver_tpu.solvers.standard import padded_width, random_multivector
+    from dune_eigensolver_tpu.solvers.standard import padded_width
 
     mesh = mesh or make_mesh(axis=axis)
     n = A.shape[0]
@@ -426,27 +448,27 @@ def sharded_lobpcg_generalized(
     A_op = _shard_dia(A_op, mesh, axis)
     B_sh = _shard_dia(B, mesh, axis)
     m = padded_width(nev, block)
-    Q0 = random_multivector(jax.random.PRNGKey(seed), n, m, A.dtype)
-    Q0 = jax.device_put(Q0, NamedSharding(mesh, P(axis, None)))
+    Q0 = _random_q0_t(seed, n, m, mesh, axis, A.dtype)
     reduce_ = psum_reduce(axis)
 
     def local_solver(adata, bdata, q0):
-        apply_a = partial(dia_spmm_halo, adata, A.offsets, axis=axis)
-        apply_b = partial(dia_spmm_halo, bdata, B.offsets, axis=axis)
-        diag_local = adata[A.offsets.index(0)]
+        apply_a = partial(dia_spmm_halo_t, adata, A.offsets, axis=axis)
+        apply_b = partial(dia_spmm_halo_t, bdata, B.offsets, axis=axis)
+        inv_diag_local = 1.0 / adata[A.offsets.index(0)]
 
         def precond(_unused):
             def solve(X):
-                Y, _ = cg_solve(
+                Y, _ = cg_solve_t(
                     apply_a,
                     X,
-                    diag=diag_local,
+                    inv_diag=inv_diag_local,
                     rtol=cg_rtol,
                     maxiter=cg_maxiter,
                     gram_reduce=reduce_,
                 )
                 return Y
 
+            solve.layout_t = True
             return solve
 
         return lobpcg_generalized(
@@ -472,7 +494,7 @@ def sharded_lobpcg_generalized(
         jax.shard_map(
             local_solver,
             mesh=mesh,
-            in_specs=(P(None, axis), P(None, axis), P(axis, None)),
+            in_specs=(P(None, axis), P(None, axis), P(None, axis)),
             out_specs=_result_specs(axis),
         )
     )

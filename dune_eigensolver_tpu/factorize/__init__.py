@@ -17,32 +17,44 @@ from dune_eigensolver_tpu.factorize.host_lu import (
 )
 
 
-def default_inverse_factory(A_sh, **kw):
+def default_inverse_factory(A_int, **kw):
     """Pick the right shift-invert engine for the operand:
 
     * DIA operators with moderate bandwidth (2D stencils: bw = N = sqrt(n))
       -> block-banded partitioned-inverse factors solved by a scan of dense
       MXU matmuls (factorize.banded) — the TPU-native direct path;
-    * DIA with wide bandwidth (3D stencils: bw = N^2) -> Jacobi-CG inverse
-      (factorize.cg) — band storage would be O(n * N^2) there, and 3D direct
-      factorizations fill catastrophically in any ordering;
+    * DIA with wide bandwidth (3D stencils: bw = N^2) -> Chebyshev-
+      preconditioned Jacobi-CG (factorize.cg + factorize.chebyshev) — band
+      storage would be O(n * N^2) there, and 3D direct factorizations fill
+      catastrophically in any ordering; the Krylov engines run on the
+      guarded Pallas SpMM when the operand is a PaddedDIA;
     * other formats -> reverse-Cuthill-McKee bandwidth reduction + the same
       banded engine (factorize.reordered); if RCM cannot confine the band,
       Jacobi-CG.
+
+    Marked ``internal``: solver wrappers hand it the internal (possibly
+    guarded PaddedDIA) operand; setup-time engines recover the logical
+    operand via ``to_dia``.
     """
     from dune_eigensolver_tpu.factorize.banded import _DEVICE_BW_MAX
     from dune_eigensolver_tpu.factorize.reordered import rcm_banded_inverse_factory
+    from dune_eigensolver_tpu.kernels.dia_spmm import PaddedDIA
     from dune_eigensolver_tpu.sparse.formats import DIAMatrix
 
-    if isinstance(A_sh, DIAMatrix):
-        bw = max(abs(o) for o in A_sh.offsets)
+    if isinstance(A_int, (DIAMatrix, PaddedDIA)):
+        bw = max(abs(o) for o in A_int.offsets)
         if bw <= _DEVICE_BW_MAX:
-            return banded_inverse_factory(A_sh, **kw)
-        return cg_inverse_factory(rtol=1e-5, maxiter=2000)(A_sh)
+            A_log = A_int.to_dia() if isinstance(A_int, PaddedDIA) else A_int
+            return banded_inverse_factory(A_log, **kw)
+        # wide band (3D): Chebyshev-accelerated CG on the fast SpMM
+        return cg_inverse_factory(rtol=1e-5, maxiter=2000)(A_int)
     try:
-        return rcm_banded_inverse_factory(A_sh, **kw)
+        return rcm_banded_inverse_factory(A_int, **kw)
     except ValueError:
-        return cg_inverse_factory(rtol=1e-5, maxiter=2000)(A_sh)
+        return cg_inverse_factory(rtol=1e-5, maxiter=2000)(A_int)
+
+
+default_inverse_factory.internal = True
 
 
 def solve_linear_system(A, b):
@@ -53,8 +65,9 @@ def solve_linear_system(A, b):
     from dune_eigensolver_tpu.solvers.standard import normalize_inverse
 
     aux, fn = normalize_inverse(default_inverse_factory(A))
-    x = fn(aux, jnp.asarray(b).reshape(-1, 1))
-    return x[:, 0]
+    if getattr(fn, "layout_t", False):
+        return fn(aux, jnp.asarray(b).reshape(1, -1))[0]
+    return fn(aux, jnp.asarray(b).reshape(-1, 1))[:, 0]
 
 
 __all__ = [

@@ -11,7 +11,12 @@ unrolled ``fori_loop`` that XLA fuses aggressively. That makes it the
 preferred LOBPCG preconditioner on bandwidth-bound problems (the 10M-dof 3D
 Laplacian run spends most of its HBM traffic inside the preconditioner).
 
-Spectral bounds come from one device-side power iteration on the
+Operates natively on the TRANSPOSED (m, n*) multivector (guarded layout
+included), so every SpMM inside the polynomial runs the Pallas
+rolling-cache kernel; the factory is marked ``internal`` (solvers/engine.py)
+and receives the guarded operand from the solver wrappers.
+
+Spectral bounds come from one device-side blocked power iteration on the
 Jacobi-scaled operator ``D^-1 A`` (run once at factory time, jitted, operand
 as an argument). The smoothing interval is ``[lmax/cond_target, lmax]``:
 Chebyshev error on the interval decays like ((sqrt(k)-1)/(sqrt(k)+1))^deg
@@ -34,39 +39,47 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from dune_eigensolver_tpu.sparse.spmm import spmm
+from dune_eigensolver_tpu.factorize.cg import _inv_diag_of
+from dune_eigensolver_tpu.sparse.spmm import spmm_t
 
 
-def _power_lmax(apply_a, inv_diag, n, dtype, iters, gram_reduce):
-    """Largest eigenvalue of ``D^-1 A`` by power iteration (device-side).
+def _power_lmax_t(apply_a, inv_diag, n_int, dtype, iters, gram_reduce, fold=None):
+    """Largest eigenvalue of ``D^-1 A`` by blocked power iteration
+    (device-side, transposed layout: an 8-row block costs the same as one
+    vector on TPU and is far more robust to an unlucky start).
 
-    Random N(0,1) start (fixed key): the top mode of diffusion-type
-    operators is highly oscillatory, and a smooth deterministic start is
-    nearly orthogonal to it — power iteration would then underestimate lmax
-    badly, which is the one failure that can hurt (see chebyshev_apply)."""
+    Random N(0,1) start: the top mode of diffusion-type operators is highly
+    oscillatory, and a smooth deterministic start is nearly orthogonal to it
+    — power iteration would then underestimate lmax badly, which is the one
+    failure that can hurt (see chebyshev_apply). ``fold`` (e.g. the shard
+    index from lax.axis_index) de-periodizes the start across shards — a
+    shard-periodic global start is structured, not i.i.d."""
     reduce_ = gram_reduce or (lambda g: g)
-    v = jax.random.normal(jax.random.PRNGKey(42), (n, 1), dtype)
+    key = jax.random.PRNGKey(42)
+    if fold is not None:
+        key = jax.random.fold_in(key, fold)
+    v = jax.random.normal(key, (8, n_int), dtype)
 
     def mat(u):
         w = apply_a(u)
-        return w if inv_diag is None else w * inv_diag[:, None]
+        return w if inv_diag is None else w * inv_diag[None, :]
 
     def body(_, v):
         w = mat(v)
-        nrm = jnp.sqrt(reduce_(jnp.sum(w * w)))
-        return w / jnp.maximum(nrm, 1e-30)
+        nrm = jnp.sqrt(reduce_(jnp.sum(w * w, axis=1)))
+        return w / jnp.maximum(nrm, 1e-30)[:, None]
 
     v = lax.fori_loop(0, iters, body, v)
     w = mat(v)
-    num = reduce_(jnp.sum(v * w))
-    den = reduce_(jnp.sum(v * v))
-    return num / jnp.maximum(den, 1e-30)
+    num = reduce_(jnp.sum(v * w, axis=1))
+    den = reduce_(jnp.sum(v * v, axis=1))
+    return jnp.max(num / jnp.maximum(den, 1e-30))
 
 
-def chebyshev_apply(apply_a, R, lmin, lmax, degree, inv_diag=None):
+def chebyshev_apply_t(apply_a, R, lmin, lmax, degree, inv_diag=None):
     """W ~ A^-1 R via degree-``degree`` Chebyshev iteration on [lmin, lmax]
     (eigen-bounds of ``D^-1 A`` when ``inv_diag`` is given, of A otherwise).
-    Zero dot products; static trip count.
+    Transposed layout R (m, n*); zero dot products; static trip count.
 
     ``degree`` is rounded up to ODD. The applied polynomial
     p(x) = (1 - r(x))/x with residual r(x) = T_d(sigma(x))/T_d(sigma1) is
@@ -77,7 +90,7 @@ def chebyshev_apply(apply_a, R, lmin, lmax, degree, inv_diag=None):
     spectrum. Odd d keeps p > 0 on all of (0, inf) — SPD unconditionally.
     """
     degree = int(degree) | 1  # round up to odd (see docstring)
-    prec = (lambda V: V) if inv_diag is None else (lambda V: V * inv_diag[:, None])
+    prec = (lambda V: V) if inv_diag is None else (lambda V: V * inv_diag[None, :])
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
     sigma1 = theta / delta
@@ -99,6 +112,13 @@ def chebyshev_apply(apply_a, R, lmin, lmax, degree, inv_diag=None):
     return x
 
 
+def chebyshev_apply(apply_a, R, lmin, lmax, degree, inv_diag=None):
+    """Column-layout wrapper over ``chebyshev_apply_t`` (R (n, m), inv_diag
+    (n,) reciprocal diagonal)."""
+    apply_a_t = lambda Xt: apply_a(Xt.T).T  # noqa: E731
+    return chebyshev_apply_t(apply_a_t, R.T, lmin, lmax, degree, inv_diag).T
+
+
 def chebyshev_inverse_factory(
     degree: int = 17,
     cond_target: float = 30.0,
@@ -107,62 +127,78 @@ def chebyshev_inverse_factory(
     jacobi: bool = True,
     gram_reduce: Optional[Callable] = None,
     apply_a: Optional[Callable] = None,
+    fold=None,
 ):
     """Factory of factories (same contract as ``cg_inverse_factory``):
-    ``inverse(A_sh)`` yields the Chebyshev approximate inverse of A_sh.
+    ``inverse(A_int)`` yields the Chebyshev approximate inverse of A_int
+    (transposed layout, marked ``layout_t``; the factory is ``internal``).
 
-    degree: polynomial degree (SpMMs per application, static).
+    degree: polynomial degree (SpMMs per application, static). Values <= 0
+        are rejected; even values are rounded up to odd (SPD-safety).
     cond_target: lmin = lmax / cond_target — how deep into the low spectrum
-        the polynomial stays accurate. Larger = better preconditioner per
-        application, slower per-degree decay.
+        the polynomial stays accurate. Must be > 1 (lmin < lmax). Larger =
+        better preconditioner per application, slower per-degree decay.
     jacobi: scale by D^-1 (recommended; bounds then live on D^-1 A).
-    apply_a / gram_reduce: distributed hooks (sharded SpMM / psum).
+    apply_a / gram_reduce: distributed hooks (sharded SpMM / psum,
+    transposed layout).
     """
+    if not cond_target > 1.0:
+        raise ValueError(f"chebyshev: cond_target must be > 1, got {cond_target}")
+    if int(degree) < 1:
+        raise ValueError(f"chebyshev: degree must be >= 1, got {degree}")
 
-    def inverse(A_sh):
+    def inverse(A_int):
         if apply_a is not None:
             # caller-supplied operator (e.g. sharded SpMM inside shard_map):
             # plain-callable convention, bounds estimated through the hook
-            diag = A_sh.diagonal() if (jacobi and hasattr(A_sh, "diagonal")) else None
-            inv_diag = None if diag is None else 1.0 / diag
-            n = A_sh.shape[0]
+            inv_diag = (
+                _inv_diag_of(A_int) if (jacobi and A_int is not None) else None
+            )
+            n_int = A_int.data.shape[-1] if hasattr(A_int, "data") else A_int.shape[0]
             lmax = (
-                _power_lmax(
-                    apply_a, inv_diag, n, A_sh.dtype, power_iters, gram_reduce
+                _power_lmax_t(
+                    apply_a, inv_diag, n_int, A_int.dtype, power_iters,
+                    gram_reduce, fold=fold,
                 )
                 * lmax_scale
             )
             lmin = lmax / cond_target
 
-            def solve(X):
-                return chebyshev_apply(apply_a, X, lmin, lmax, degree, inv_diag)
+            def solve(Xt):
+                return chebyshev_apply_t(apply_a, Xt, lmin, lmax, degree, inv_diag)
 
+            solve.layout_t = True
             return solve
 
         # closure-free pair: operand + Jacobi diagonal + spectral bounds are
         # aux (threaded through jit as arguments); the solve fn is memoized
         # on the static config so solver jit caches hit across factory calls
-        diag = A_sh.diagonal() if (jacobi and hasattr(A_sh, "diagonal")) else None
-        inv_diag = None if diag is None else 1.0 / diag
-        lmax = _estimate_lmax_jit(A_sh, inv_diag, int(power_iters)) * lmax_scale
+        inv_diag = _inv_diag_of(A_int) if jacobi else None
+        lmax = _estimate_lmax_jit(A_int, inv_diag, int(power_iters)) * lmax_scale
         lmin = lmax / cond_target
-        aux = (A_sh, inv_diag, lmin, lmax)
+        aux = (A_int, inv_diag, lmin, lmax)
         return aux, _cheb_solve_fn(int(degree), bool(jacobi))
 
+    inverse.internal = True
     return inverse
 
 
-def _estimate_lmax_jit(A_sh, inv_diag, iters):
+def _estimate_lmax_jit(A_int, inv_diag, iters):
     # iters as a traced scalar would retrace fori_loop bounds; pass as a
     # Python int bound into fori_loop via closure — memoize per iters value
     return _ESTIMATE_FNS.setdefault(
         iters,
         jax.jit(
-            lambda A_, d_, _it=iters: _power_lmax(
-                lambda V: spmm(A_, V), d_, A_.shape[0], A_.dtype, _it, None
+            lambda A_, d_, _it=iters: _power_lmax_t(
+                lambda V: spmm_t(A_, V),
+                d_,
+                A_.data.shape[-1] if hasattr(A_, "data") else A_.shape[0],
+                A_.dtype,
+                _it,
+                None,
             )
         ),
-    )(A_sh, inv_diag)
+    )(A_int, inv_diag)
 
 
 _ESTIMATE_FNS = {}
@@ -173,11 +209,12 @@ def _cheb_solve_fn(degree, jacobi):
     key = (degree, jacobi)
     if key not in _CHEB_SOLVE_FNS:
 
-        def solve_pair(aux, X, _deg=degree):
+        def solve_pair(aux, Xt, _deg=degree):
             A_, inv_diag, lmin, lmax = aux
-            return chebyshev_apply(
-                lambda V: spmm(A_, V), X, lmin, lmax, _deg, inv_diag
+            return chebyshev_apply_t(
+                lambda V: spmm_t(A_, V), Xt, lmin, lmax, _deg, inv_diag
             )
 
+        solve_pair.layout_t = True
         _CHEB_SOLVE_FNS[key] = solve_pair
     return _CHEB_SOLVE_FNS[key]

@@ -204,6 +204,17 @@ class PaddedDIA:
         inside = (i >= self.guard) & (i < self.guard + self.n)
         return jnp.where(inside, self.data[d], jnp.asarray(fill, self.dtype))
 
+    def to_dia(self) -> DIAMatrix:
+        """Recover the logical DIAMatrix (a slice view; used by setup-time
+        code — factorizations, scipy bridges — not by hot loops)."""
+        return DIAMatrix(
+            data=lax.dynamic_slice(
+                self.data, (0, self.guard), (self.data.shape[0], self.n)
+            ),
+            offsets=self.offsets,
+            shape=self.shape,
+        )
+
 
 jax.tree_util.register_dataclass(
     PaddedDIA,

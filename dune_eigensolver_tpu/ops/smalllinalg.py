@@ -55,3 +55,22 @@ def solve_lower_transpose_right(X: jax.Array, L: jax.Array) -> jax.Array:
             y = y - L[j, k] * cols[k]
         cols.append(y / L[j, j])
     return jnp.stack(cols, axis=1)
+
+
+def solve_lower_left(L: jax.Array, B: jax.Array) -> jax.Array:
+    """L^-1 @ B for small lower-triangular L, unrolled row by row.
+
+    Forward substitution on ROWS of the transposed multivector layout:
+    y_i = (b_i - sum_{k<i} L[i,k] y_k) / L[i,i] with b_i = B[i] a lane-major
+    (n,)-row. This is the transposed-layout Cholesky-QR normalization
+    (columns of X^T are rows here), so no (n, b) transposes are needed.
+    B: (b, n); returns (b, n).
+    """
+    b = L.shape[0]
+    rows = []
+    for i in range(b):
+        y = B[i]
+        for k in range(i):
+            y = y - L[i, k] * rows[k]
+        rows.append(y / L[i, i])
+    return jnp.stack(rows, axis=0)

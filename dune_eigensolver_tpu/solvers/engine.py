@@ -1,0 +1,157 @@
+"""Internal solver layout engine: guarded transposed multivectors.
+
+Solver cores iterate on the TRANSPOSED multivector (m, n*) — the layout the
+Pallas rolling-cache SpMM streams (kernels/dia_spmm.py) and the analogue of
+the reference's contiguous 8-RHS blocks (multivector.hh:130-139). On TPU
+with DIA operands the internal width n* is the guarded ``PaddedLayout``
+width, so the whole while-loop runs with ZERO marshalling: the SpMM, the
+orthonormalization (left m x m transforms preserve the zero guards), the
+Rayleigh dots (guards contribute zero) and the Krylov inverse engines all
+operate on the same persistent buffers.
+
+``make_engine`` decides the internal representation once per solve:
+
+* DIA operands (+ TPU, or ``force_padded`` for CPU-mesh tests) -> one
+  ``PaddedLayout`` built from the UNION of A'/B offsets, operators pre-padded
+  once (``PaddedDIA``), multivectors guarded;
+* anything else -> plain transposed arrays, operators as-is (``spmm_t``'s
+  XLA formulations).
+
+Inverse factories keep the round-1 column-layout contract ``fn(aux, X(n,m))``
+(factorize/banded, host_lu, …); the engine bridges them with a memoized
+adapter keyed on the inner fn so solver jit caches stay warm (see CLAUDE.md
+architecture invariants). Factories that understand the internal layout mark
+their fn with ``fn.layout_t = True`` and skip the adapter (factorize/cg,
+factorize/chebyshev — the inner Krylov loops then run the fast SpMM too).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dune_eigensolver_tpu.kernels.dia_spmm import PaddedDIA, PaddedLayout
+from dune_eigensolver_tpu.sparse.formats import DIAMatrix
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+@dataclasses.dataclass(frozen=True)
+class PadAux:
+    """Pytree wrapping a column-layout inverse aux with static geometry so
+    the memoized adapter can unpad/transpose inside the trace."""
+
+    inner: Any
+    guard: int  # static
+    n: int  # static
+
+
+jax.tree_util.register_dataclass(
+    PadAux, data_fields=["inner"], meta_fields=["guard", "n"]
+)
+
+
+_ADAPTED_FNS = {}
+
+
+def adapt_inverse(inv_aux, inv_fn, layout: Optional[PaddedLayout]):
+    """Bridge a column-layout ``fn(aux, X(n, m))`` inverse to the internal
+    guarded transposed layout. Memoized on the inner fn identity so the
+    solver cores' jit caches (keyed on fn identity) hit across solves."""
+    if getattr(inv_fn, "layout_t", False):
+        return inv_aux, inv_fn  # already internal-native
+    key = (id(inv_fn), layout is not None)
+    if key not in _ADAPTED_FNS:
+        if layout is None:
+
+            def adapted(aux, Xt, _fn=inv_fn):
+                return _fn(aux, Xt.T).T
+
+        else:
+
+            def adapted(aux, Xt, _fn=inv_fn):
+                G, n = aux.guard, aux.n
+                X_log = lax.slice(Xt, (0, G), (Xt.shape[0], G + n)).T
+                Y = _fn(aux.inner, X_log).T
+                pad_r = Xt.shape[1] - G - n
+                return jnp.pad(Y, ((0, 0), (G, pad_r)))
+
+        _ADAPTED_FNS[key] = adapted
+    aux = inv_aux if layout is None else PadAux(inv_aux, layout.G, layout.n)
+    return aux, _ADAPTED_FNS[key]
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineSpec:
+    """Static description of the internal layout (goes into jit static cfg).
+
+    ``guard``/``n``/``width`` are None for the plain (ungarded) layout.
+    """
+
+    guard: Optional[int]
+    n: Optional[int]
+    width: Optional[int]
+
+    @property
+    def padded(self) -> bool:
+        return self.guard is not None
+
+
+def make_engine(
+    A_sh,
+    B=None,
+    m: int = 8,
+    force_padded: Optional[bool] = None,
+) -> Tuple[Any, Any, Optional[PaddedLayout], EngineSpec]:
+    """Pick the internal representation: (A_int, B_int, layout, spec).
+
+    ``force_padded``: True forces the guarded Pallas layout (CPU tests run
+    it in interpret mode), False forces plain; None -> padded iff both
+    operands are DIA and a TPU is attached.
+    """
+    is_dia = isinstance(A_sh, DIAMatrix) and (B is None or isinstance(B, DIAMatrix))
+    use_padded = is_dia if force_padded is None else (force_padded and is_dia)
+    if force_padded is None:
+        use_padded = use_padded and _on_tpu()
+    if not use_padded:
+        return A_sh, B, None, EngineSpec(None, None, None)
+    union = set(A_sh.offsets)
+    if B is not None:
+        union |= set(B.offsets)
+    L = PaddedLayout(A_sh.shape[0], m, tuple(sorted(union)))
+    A_int = L.pad_operator(A_sh)
+    B_int = None if B is None else L.pad_operator(B)
+    return A_int, B_int, L, EngineSpec(L.G, L.n, L.width)
+
+
+def to_internal(Qt: jax.Array, layout: Optional[PaddedLayout]) -> jax.Array:
+    """(m, n) transposed multivector -> internal (guarded) layout."""
+    return Qt if layout is None else layout.pad(Qt)
+
+
+def from_internal_vectors(
+    Qi: jax.Array, spec: EngineSpec, n: int
+) -> jax.Array:
+    """Internal (m, n*) -> public column layout (n, m). Static slicing only
+    (usable inside jitted cores)."""
+    if spec.padded:
+        Qi = lax.slice(Qi, (0, spec.guard), (Qi.shape[0], spec.guard + spec.n))
+    return Qi.T
+
+
+def guard_vec(v: jax.Array, spec: EngineSpec, fill=0.0) -> jax.Array:
+    """(n,) -> internal (n*,) with ``fill`` in the guards (fill=1 for
+    inverse-diagonal scalings)."""
+    if not spec.padded:
+        return v
+    out = jnp.full((spec.width,), fill, v.dtype)
+    return lax.dynamic_update_slice(out, v, (spec.guard,))

@@ -16,10 +16,12 @@ The reference's stopping test uses bitwise `&` at eigensolver.hh:323 (a bug
 that still forces >= 11 iterations because of the iter>10 clause); we use the
 intended logical AND with configurable ``min_iter`` defaulting to the same 10.
 
-Structurally the iteration runs in a module-level jitted core whose operands
-(A', B, factorization aux, Q0) are explicit arguments: on TPU, closing over a
-multi-hundred-MB factorization would embed it as an XLA constant in every
-trace (and on a tunneled TPU, ship it inside the compile RPC).
+The iteration state is the TRANSPOSED multivector (m, n*), guarded for the
+Pallas rolling-cache SpMM on TPU DIA operands (solvers/engine.py), and runs
+in a module-level jitted core whose operands (A', B, factorization aux, Q0)
+are explicit arguments: on TPU, closing over a multi-hundred-MB
+factorization would embed it as an XLA constant in every trace (and on a
+tunneled TPU, ship it inside the compile RPC).
 """
 
 from __future__ import annotations
@@ -32,19 +34,26 @@ import jax.numpy as jnp
 from jax import lax
 
 from dune_eigensolver_tpu.ops.ortho import (
-    b_orthonormalize_blocked,
-    dot_products_diagonal,
+    b_orthonormalize_blocked_t,
+    dot_products_diagonal_t,
 )
-from dune_eigensolver_tpu.solvers.result import EigenResult, sort_result
+from dune_eigensolver_tpu.solvers.engine import (
+    adapt_inverse,
+    from_internal_vectors,
+    make_engine,
+    to_internal,
+)
+from dune_eigensolver_tpu.solvers.result import EigenResult, sort_result_t
 from dune_eigensolver_tpu.solvers.standard import (
+    _spec_of,
     normalize_inverse,
     padded_width,
-    random_multivector,
+    random_multivector_t,
 )
-from dune_eigensolver_tpu.sparse.spmm import spmm
+from dune_eigensolver_tpu.sparse.spmm import spmm_t
 
 
-def _gen_core(A_sh, B, inv_aux, Q0, hooks, cfg):
+def _gen_core(A_int, B_int, inv_aux, Q0, hooks, cfg):
     apply_a_h, apply_b_h, gram_reduce, inv_fn = hooks
     (
         nev,
@@ -55,14 +64,18 @@ def _gen_core(A_sh, B, inv_aux, Q0, hooks, cfg):
         min_iter,
         ortho_iterations,
         rayleigh_ritz,
+        n,
         dtype,
     ) = cfg
-    apply_a = apply_a_h or (lambda X: spmm(A_sh, X))
-    apply_b = apply_b_h or (lambda X: spmm(B, X))
+    # each hook falls back independently to the internal-operand SpMM
+    # (round 1 crashed when only SOME hooks were supplied)
+    apply_a = apply_a_h or (lambda X: spmm_t(A_int, X))
+    apply_b = apply_b_h or (lambda X: spmm_t(B_int, X))
     reduce_ = gram_reduce or (lambda g: g)
     shift_ = jnp.asarray(shift_eval, dtype)
+    spec = _spec_of(A_int)
     b_ortho = partial(
-        b_orthonormalize_blocked,
+        b_orthonormalize_blocked_t,
         apply_b,
         block=block,
         gram_reduce=gram_reduce,
@@ -77,11 +90,11 @@ def _gen_core(A_sh, B, inv_aux, Q0, hooks, cfg):
         subspace-iteration rate instead of the coupled block rate."""
         AQ = apply_a(Q)
         if not rayleigh_ritz:
-            return reduce_(dot_products_diagonal(AQ, Q)) - shift_, Q
-        G = reduce_(jnp.dot(AQ.T, Q, precision=jax.lax.Precision.HIGHEST))
+            return reduce_(dot_products_diagonal_t(AQ, Q)) - shift_, Q
+        G = reduce_(jnp.dot(AQ, Q.T, precision=jax.lax.Precision.HIGHEST))
         G = 0.5 * (G + G.T)
         lam, V = jnp.linalg.eigh(G)
-        return lam - shift_, jnp.dot(Q, V, precision=jax.lax.Precision.HIGHEST)
+        return lam - shift_, jnp.dot(V.T, Q, precision=jax.lax.Precision.HIGHEST)
 
     Q, norm0 = b_ortho(Q0)
     ra2, Q = rayleigh(Q)
@@ -107,10 +120,10 @@ def _gen_core(A_sh, B, inv_aux, Q0, hooks, cfg):
         norm0,
     )
     Q, ra, it, relerror, norm = lax.while_loop(cond, body, state)
-    evals, evecs = sort_result(ra, Q, nev, descending=False)
+    evals, evecs_t = sort_result_t(ra, Q, nev, descending=False)
     return EigenResult(
         eigenvalues=evals,
-        eigenvectors=evecs,
+        eigenvectors=from_internal_vectors(evecs_t, spec, n),
         iterations=it,
         converged=relerror < tol,
         criterion=relerror,
@@ -141,6 +154,7 @@ def generalized_inverse(
     q0: Optional[jax.Array] = None,
     eval_shift: Optional[float] = None,
     dtype=None,
+    force_padded: Optional[bool] = None,
 ) -> EigenResult:
     """Smallest-nev eigenpairs of ``A x = lambda B x``.
 
@@ -148,33 +162,50 @@ def generalized_inverse(
     reg*I to a multi-RHS solve. It may return either a plain callable
     ``X -> A'^-1 X`` or a closure-free pair ``(aux, fn)`` with
     ``fn(aux, X)`` (preferred on TPU — aux is threaded through jit as an
-    argument). Default: the block-banded partitioned-inverse direct solve for
-    DIA operands, host-LU gather trisolve otherwise; pass
+    argument). Column-layout factories are bridged to the internal
+    transposed layout automatically; factories marked ``internal`` receive
+    the internal (guarded PaddedDIA) operand and run the fast SpMM in their
+    inner loops. Default: the block-banded partitioned-inverse direct solve
+    for DIA operands, host-LU gather trisolve otherwise; pass
     ``cg_inverse_factory(...)`` for the matrix-free path (used by the
     distributed layer).
 
     ``apply_a``/``apply_b``/``gram_reduce``/``q0`` let the distributed layer
-    inject halo-exchange SpMMs, a psum, and a pre-sharded start block. When a
-    caller pre-folds the shift into ``apply_a`` (sharded path), pass
-    ``shift=0`` and the original shift as ``eval_shift`` so the Rayleigh
-    quotients are un-shifted correctly (eigensolver.hh:311-312).
+    inject halo-exchange SpMMs, a psum, and a pre-sharded start block (all
+    transposed (m, n_local)). When a caller pre-folds the shift into
+    ``apply_a`` (sharded path), pass ``shift=0`` and the original shift as
+    ``eval_shift`` so the Rayleigh quotients are un-shifted correctly
+    (eigensolver.hh:311-312).
     """
     from dune_eigensolver_tpu.solvers.standard import shifted_operand
 
-    A_sh = shifted_operand(A, B, shift, reg)
-    if inverse is None:
-        from dune_eigensolver_tpu.factorize import default_inverse_factory
-
-        inverse = default_inverse_factory
-    inv_aux, inv_fn = normalize_inverse(inverse(A_sh))
-
     dtype = dtype or A.dtype
     m = padded_width(nev, block)
-    Q0 = (
-        q0
-        if q0 is not None
-        else random_multivector(jax.random.PRNGKey(seed), A.shape[0], m, dtype)
-    )
+    n = A.shape[0]
+    dist_mode = apply_a is not None and apply_b is not None
+    if dist_mode:
+        A_int = B_int = None
+        layout = None
+        inv_aux, inv_fn = normalize_inverse(inverse(None))
+    else:
+        A_sh = shifted_operand(A, B, shift, reg)
+        A_int, B_int, layout, _spec = make_engine(A_sh, B, m, force_padded)
+        if inverse is None:
+            from dune_eigensolver_tpu.factorize import default_inverse_factory
+
+            inverse = default_inverse_factory
+        if getattr(inverse, "internal", False):
+            inv_aux, inv_fn = normalize_inverse(inverse(A_int))
+        else:
+            inv_aux, inv_fn = normalize_inverse(inverse(A_sh))
+        inv_aux, inv_fn = adapt_inverse(inv_aux, inv_fn, layout)
+    hooked = dist_mode or gram_reduce is not None
+    if q0 is not None:
+        Q0 = q0 if hooked else to_internal(q0.T, layout)
+    else:
+        Q0 = to_internal(
+            random_multivector_t(jax.random.PRNGKey(seed), n, m, dtype), layout
+        )
     cfg = (
         nev,
         float(tol),
@@ -184,6 +215,7 @@ def generalized_inverse(
         int(min_iter),
         int(ortho_iterations),
         bool(rayleigh_ritz),
+        int(n),
         jnp.dtype(dtype),
     )
     hooks = (apply_a, apply_b, gram_reduce, inv_fn)
@@ -191,5 +223,5 @@ def generalized_inverse(
     # the core inline there. The default single-chip path goes through the
     # cached jit with explicit operands.
     if apply_a is None and apply_b is None and gram_reduce is None:
-        return _gen_core_jit(A_sh, B, inv_aux, Q0, hooks, cfg)
-    return _gen_core(None, None, inv_aux, Q0, hooks, cfg)
+        return _gen_core_jit(A_int, B_int, inv_aux, Q0, hooks, cfg)
+    return _gen_core(A_int, B_int, inv_aux, Q0, hooks, cfg)

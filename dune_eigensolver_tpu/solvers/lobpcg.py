@@ -26,10 +26,12 @@ seek the LARGEST eigenvalues nu of the reciprocal pencil
 with an A'-orthonormal basis. B-null junk directions then sit harmlessly at
 nu ~ 0, the opposite end of the spectrum from what Rayleigh-Ritz selects.
 
-Structure mirrors the other solvers: a module-level jitted core with all
-large operands (matrices, preconditioner aux, Q0) as explicit arguments, and
-``apply_a``/``apply_b``/``gram_reduce`` hooks so the distributed layer can
-inject halo-exchange SpMMs and psum reductions.
+The iteration state is the TRANSPOSED multivector (m, n*), guarded for the
+Pallas rolling-cache SpMM on TPU DIA operands (solvers/engine.py); the
+search block [X; W; P] is a (3m, n*) stack of rows. Structure mirrors the
+other solvers: a module-level jitted core with all large operands as
+explicit arguments, and ``apply_a``/``apply_b``/``gram_reduce`` hooks for
+the distributed layer.
 """
 
 from __future__ import annotations
@@ -40,32 +42,40 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from dune_eigensolver_tpu.ops.ortho import b_orthonormalize_blocked
-from dune_eigensolver_tpu.solvers.result import EigenResult, sort_result
+from dune_eigensolver_tpu.ops.ortho import b_orthonormalize_blocked_t
+from dune_eigensolver_tpu.solvers.engine import (
+    adapt_inverse,
+    from_internal_vectors,
+    make_engine,
+    to_internal,
+)
+from dune_eigensolver_tpu.solvers.result import EigenResult, sort_result_t
 from dune_eigensolver_tpu.solvers.standard import (
+    _spec_of,
     normalize_inverse,
     padded_width,
-    random_multivector,
+    random_multivector_t,
 )
-from dune_eigensolver_tpu.sparse.spmm import spmm
+from dune_eigensolver_tpu.sparse.spmm import spmm_t
 
 _PREC = lax.Precision.HIGHEST
 
 
-def _lobpcg_core(A_sh, B, prec_aux, Q0, hooks, cfg):
+def _lobpcg_core(A_int, B_int, prec_aux, Q0, hooks, cfg):
     apply_a_h, apply_b_h, gram_reduce, prec_fn = hooks
-    (nev, tol, maxiter, shift_eval, block, min_iter, ortho_eps, dtype) = cfg
-    apply_a = apply_a_h or (lambda X: spmm(A_sh, X))
-    apply_b = apply_b_h or (lambda X: spmm(B, X))
+    (nev, tol, maxiter, shift_eval, block, min_iter, ortho_eps, n, dtype) = cfg
+    apply_a = apply_a_h or (lambda X: spmm_t(A_int, X))
+    apply_b = apply_b_h or (lambda X: spmm_t(B_int, X))
     reduce_ = gram_reduce or (lambda g: g)
     shift_ = jnp.asarray(shift_eval, dtype)
-    n, m = Q0.shape
+    m = Q0.shape[0]
+    spec = _spec_of(A_int)
     tiny = jnp.asarray(1e-30, dtype)
 
     def a_ortho(S):
         # CholeskyQR2 in the A'-inner product; A' is PD so no junk handling
         # is needed (the eps floor only guards W -> 0 at convergence).
-        S, _ = b_orthonormalize_blocked(
+        S, _ = b_orthonormalize_blocked_t(
             apply_a, S, block=block, gram_reduce=gram_reduce, iterations=2,
             eps=ortho_eps,
         )
@@ -75,7 +85,7 @@ def _lobpcg_core(A_sh, B, prec_aux, Q0, hooks, cfg):
         """Rayleigh-Ritz for the largest-k of ``B y = nu A' y`` on an
         A'-orthonormal basis S: returns (nu, V) with nu descending."""
         BS = apply_b(S)
-        G = reduce_(jnp.dot(BS.T, S, precision=_PREC))
+        G = reduce_(jnp.dot(BS, S.T, precision=_PREC))
         G = 0.5 * (G + G.T)
         nu, V = jnp.linalg.eigh(G)  # ascending
         return nu[::-1][:k], V[:, ::-1][:, :k]
@@ -86,7 +96,7 @@ def _lobpcg_core(A_sh, B, prec_aux, Q0, hooks, cfg):
     # --- iteration 0: Rayleigh-Ritz on the start block alone ---
     X = a_ortho(Q0)
     nu, V = ritz(X, m)
-    X = jnp.dot(X, V, precision=_PREC)
+    X = jnp.dot(V.T, X, precision=_PREC)
     lam = lam_of(nu)
     P = jnp.zeros_like(X)
     have_p = jnp.zeros((), jnp.bool_)
@@ -95,23 +105,23 @@ def _lobpcg_core(A_sh, B, prec_aux, Q0, hooks, cfg):
         X, P, have_p, lam_prev, it, _ = state
         AX = apply_a(X)
         BX = apply_b(X)
-        nu = reduce_(jnp.sum(X * BX, axis=0))  # X is A'-orthonormal
-        R = BX - AX * nu[None, :]
+        nu = reduce_(jnp.sum(X * BX, axis=1))  # X is A'-orthonormal
+        R = BX - AX * nu[:, None]
         W = prec_fn(prec_aux, R)
         # P is zero on the first pass; the filler is projected to noise by
         # the orthonormalization (eps floor) and never selected by RR.
         P_eff = jnp.where(have_p, P, W * 0.5)
-        S = jnp.concatenate([X, W, P_eff], axis=1)  # (n, 3m)
+        S = jnp.concatenate([X, W, P_eff], axis=0)  # (3m, n*)
         S = a_ortho(S)
         nu_all, Vx = ritz(S, m)
-        Xn = jnp.dot(S, Vx, precision=_PREC)
+        Xn = jnp.dot(Vx.T, S, precision=_PREC)
         # LOBPCG direction: the Ritz rotation restricted to the [W, P] block
         Vp = Vx.at[:m, :].set(0.0)
-        Pn = jnp.dot(S, Vp, precision=_PREC)
-        # A'-normalize P columns (guard against zero columns)
+        Pn = jnp.dot(Vp.T, S, precision=_PREC)
+        # A'-normalize P rows (guard against zero rows)
         APn = apply_a(Pn)
-        pn = reduce_(jnp.sum(Pn * APn, axis=0))
-        Pn = Pn / jnp.sqrt(jnp.maximum(pn, tiny))[None, :]
+        pn = reduce_(jnp.sum(Pn * APn, axis=1))
+        Pn = Pn / jnp.sqrt(jnp.maximum(pn, tiny))[:, None]
         lam_n = lam_of(nu_all)
         relerror = jnp.max(jnp.abs(lam_n - lam_prev)) / jnp.maximum(
             jnp.max(jnp.abs(lam_n)), tiny
@@ -124,15 +134,15 @@ def _lobpcg_core(A_sh, B, prec_aux, Q0, hooks, cfg):
 
     state = (X, P, have_p, lam, jnp.zeros((), jnp.int32), jnp.asarray(jnp.inf, dtype))
     X, P, _, lam, it, relerror = lax.while_loop(cond, body, state)
-    # X columns are A'-orthonormal; rescale to B-normalized eigenvectors the
+    # X rows are A'-orthonormal; rescale to B-normalized eigenvectors the
     # way the reference returns them (unit B-norm up to convergence).
     BX = apply_b(X)
-    bmass = reduce_(jnp.sum(X * BX, axis=0))
-    X = X / jnp.sqrt(jnp.maximum(bmass, tiny))[None, :]
-    evals, evecs = sort_result(lam, X, nev, descending=False)
+    bmass = reduce_(jnp.sum(X * BX, axis=1))
+    X = X / jnp.sqrt(jnp.maximum(bmass, tiny))[:, None]
+    evals, evecs_t = sort_result_t(lam, X, nev, descending=False)
     return EigenResult(
         eigenvalues=evals,
-        eigenvectors=evecs,
+        eigenvectors=from_internal_vectors(evecs_t, spec, n),
         iterations=it,
         converged=relerror < tol,
         criterion=relerror,
@@ -162,6 +172,7 @@ def lobpcg_generalized(
     q0: Optional[jax.Array] = None,
     eval_shift: Optional[float] = None,
     dtype=None,
+    force_padded: Optional[bool] = None,
 ) -> EigenResult:
     """Smallest-nev eigenpairs of ``A x = lambda B x`` by preconditioned
     LOBPCG on the reciprocal pencil (module docstring). Same problem and
@@ -174,31 +185,48 @@ def lobpcg_generalized(
 
     ``precond``: factory mapping A' to an (approximate) inverse apply; same
     conventions as the ``inverse=`` factories (plain callable or
-    closure-free ``(aux, fn)``). Defaults to
+    closure-free ``(aux, fn)``; ``internal``-marked factories receive the
+    guarded operand and run the fast SpMM in their inner loop). Defaults to
     ``factorize.default_inverse_factory`` — the same engine the shift-invert
     solvers use, here only needed approximately. Pass ``precond=False`` for
     unpreconditioned LOBPCG (matrix-free end to end).
     """
     from dune_eigensolver_tpu.solvers.standard import shifted_operand
 
-    A_sh = shifted_operand(A, B, shift, reg)
-
-    if precond is False:
-        prec_aux, prec_fn = None, (lambda _aux, X: X)
-    else:
-        if precond is None:
-            from dune_eigensolver_tpu.factorize import default_inverse_factory
-
-            precond = default_inverse_factory
-        prec_aux, prec_fn = normalize_inverse(precond(A_sh))
-
     dtype = dtype or A.dtype
     m = padded_width(nev, block)
-    Q0 = (
-        q0
-        if q0 is not None
-        else random_multivector(jax.random.PRNGKey(seed), A.shape[0], m, dtype)
-    )
+    n = A.shape[0]
+    dist_mode = apply_a is not None and apply_b is not None
+    if dist_mode:
+        A_int = B_int = None
+        layout = None
+        if precond is False:
+            prec_aux, prec_fn = None, (lambda _aux, X: X)
+        else:
+            prec_aux, prec_fn = normalize_inverse(precond(None))
+    else:
+        # m_max: the search block is (3m, n*) — size the layout for it
+        A_sh = shifted_operand(A, B, shift, reg)
+        A_int, B_int, layout, _spec = make_engine(A_sh, B, 3 * m, force_padded)
+        if precond is False:
+            prec_aux, prec_fn = None, (lambda _aux, X: X)
+        else:
+            if precond is None:
+                from dune_eigensolver_tpu.factorize import default_inverse_factory
+
+                precond = default_inverse_factory
+            if getattr(precond, "internal", False):
+                prec_aux, prec_fn = normalize_inverse(precond(A_int))
+            else:
+                prec_aux, prec_fn = normalize_inverse(precond(A_sh))
+            prec_aux, prec_fn = adapt_inverse(prec_aux, prec_fn, layout)
+    hooked = dist_mode or gram_reduce is not None
+    if q0 is not None:
+        Q0 = q0 if hooked else to_internal(q0.T, layout)
+    else:
+        Q0 = to_internal(
+            random_multivector_t(jax.random.PRNGKey(seed), n, m, dtype), layout
+        )
     cfg = (
         nev,
         float(tol),
@@ -207,9 +235,10 @@ def lobpcg_generalized(
         int(block),
         int(min_iter),
         float(ortho_eps),
+        int(n),
         jnp.dtype(dtype),
     )
     hooks = (apply_a, apply_b, gram_reduce, prec_fn)
     if apply_a is None and apply_b is None and gram_reduce is None:
-        return _lobpcg_core_jit(A_sh, B, prec_aux, Q0, hooks, cfg)
-    return _lobpcg_core(A_sh, B, prec_aux, Q0, hooks, cfg)
+        return _lobpcg_core_jit(A_int, B_int, prec_aux, Q0, hooks, cfg)
+    return _lobpcg_core(A_int, B_int, prec_aux, Q0, hooks, cfg)

@@ -50,6 +50,13 @@ jax.tree_util.register_dataclass(
 
 
 def sort_result(evals: jax.Array, Q: jax.Array, nev: int, descending: bool):
-    """Order eigenpairs and truncate to nev."""
+    """Order eigenpairs and truncate to nev (column layout)."""
     order = jnp.argsort(-evals if descending else evals)
     return evals[order][:nev], Q[:, order][:, :nev]
+
+
+def sort_result_t(evals: jax.Array, Qt: jax.Array, nev: int, descending: bool):
+    """Order eigenpairs and truncate to nev (transposed layout: vectors are
+    rows of Qt)."""
+    order = jnp.argsort(-evals if descending else evals)
+    return evals[order][:nev], Qt[order][:nev]

@@ -71,3 +71,64 @@ def spmm(A, X: jax.Array) -> jax.Array:
     if isinstance(A, BSRMatrix):
         return bsr_spmm(A, X)
     raise TypeError(f"spmm: unsupported operand type {type(A)}")
+
+
+# ---------------------------------------------------------------------------
+# Transposed (m, n) layout — the solver-internal hot path. m rides the
+# sublane dimension and n the lanes, the TPU analogue of the reference's
+# contiguous 8-RHS blocks (multivector.hh:130-139). Guarded (PaddedDIA)
+# operands route to the Pallas rolling-cache kernel.
+# ---------------------------------------------------------------------------
+
+
+def ell_spmm_t(A: ELLMatrix, Xt: jax.Array) -> jax.Array:
+    """Yt = (A @ Xt.T).T with A in ELL format. Xt: (m, n_cols)."""
+    gathered = jnp.take(Xt, A.cols, axis=1)  # (m, n, k)
+    return jnp.einsum(
+        "nk,mnk->mn", A.data, gathered, preferred_element_type=Xt.dtype
+    )
+
+
+def bsr_spmm_t(A: BSRMatrix, Xt: jax.Array) -> jax.Array:
+    """Yt = (A @ Xt.T).T with A in block-ELL format. Xt: (m, n_cols)."""
+    br, bc = A.block
+    m = Xt.shape[0]
+    Xb = Xt.reshape(m, A.shape[1] // bc, bc)
+    gathered = jnp.take(Xb, A.bcols, axis=1)  # (m, nbr, k, bc)
+    Yb = jnp.einsum(
+        "rkab,mrkb->mra", A.bdata, gathered, preferred_element_type=Xt.dtype
+    )
+    return Yb.reshape(m, A.shape[0])
+
+
+def _on_tpu() -> bool:
+    import jax as _jax
+
+    try:
+        return _jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def spmm_t(A, Xt: jax.Array, donate: bool = False) -> jax.Array:
+    """Transposed-layout SpMM dispatch: Yt (m, n*) = (A @ X). PaddedDIA
+    operands run the Pallas rolling-cache kernel (interpret mode off-TPU so
+    the padded path stays testable on the CPU mesh); plain containers run
+    the XLA formulations."""
+    from dune_eigensolver_tpu.kernels.dia_spmm import (
+        PaddedDIA,
+        dia_spmm_t_xla,
+        padded_spmm,
+    )
+
+    if isinstance(A, PaddedDIA):
+        if donate and min(A.offsets, default=0) < -A.tile:
+            donate = False  # in-place unsafe for far-left clusters (3D)
+        return padded_spmm(A, Xt, donate=donate, interpret=not _on_tpu())
+    if isinstance(A, DIAMatrix):
+        return dia_spmm_t_xla(A, Xt)
+    if isinstance(A, ELLMatrix):
+        return ell_spmm_t(A, Xt)
+    if isinstance(A, BSRMatrix):
+        return bsr_spmm_t(A, Xt)
+    raise TypeError(f"spmm_t: unsupported operand type {type(A)}")

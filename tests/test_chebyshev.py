@@ -43,7 +43,7 @@ def test_chebyshev_factory_residual(rng):
         chebyshev_inverse_factory(degree=24, cond_target=50.0)(A)
     )
     X = jnp.asarray(rng.normal(size=(A.shape[0], 8)))
-    W = fn(aux, X)
+    W = fn(aux, X.T).T  # factory fns use the transposed internal layout
     R = np.asarray(spmm(A, W)) - np.asarray(X)
     rel = np.linalg.norm(R) / np.linalg.norm(np.asarray(X))
     assert rel < 5e-2
@@ -56,7 +56,7 @@ def test_chebyshev_operator_is_spd(rng):
     A = problems.laplacian_dirichlet_2d(N).with_shifted_diagonal(1e-3)
     n = A.shape[0]
     aux, fn = normalize_inverse(chebyshev_inverse_factory(degree=8)(A))
-    T = np.asarray(fn(aux, jnp.eye(n)))
+    T = np.asarray(fn(aux, jnp.eye(n)).T)  # transposed layout: rows in, rows out
     assert np.abs(T - T.T).max() < 1e-10 * np.abs(T).max()
     w = np.linalg.eigvalsh(0.5 * (T + T.T))
     assert w.min() > 0
