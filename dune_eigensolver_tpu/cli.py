@@ -75,6 +75,14 @@ def _inverse_factory(ptree):
         from dune_eigensolver_tpu.factorize import cg_inverse_factory
 
         return cg_inverse_factory(rtol=1e-4, maxiter=1000)
+    if kind == "chebcg":
+        from dune_eigensolver_tpu.factorize import cheb_cg_inverse_factory
+
+        return cheb_cg_inverse_factory(rtol=1e-4, maxiter=300)
+    if kind == "cheb":
+        from dune_eigensolver_tpu.factorize import chebyshev_inverse_factory
+
+        return chebyshev_inverse_factory()
     raise ValueError(f"unknown ev.inverse={kind!r}")
 
 

@@ -7,6 +7,7 @@ from dune_eigensolver_tpu.factorize.banded import (
 )
 from dune_eigensolver_tpu.factorize.cg import cg_inverse_factory, cg_solve
 from dune_eigensolver_tpu.factorize.chebyshev import (
+    cheb_cg_inverse_factory,
     chebyshev_apply,
     chebyshev_inverse_factory,
 )
@@ -46,12 +47,14 @@ def default_inverse_factory(A_int, **kw):
         if bw <= _DEVICE_BW_MAX:
             A_log = A_int.to_dia() if isinstance(A_int, PaddedDIA) else A_int
             return banded_inverse_factory(A_log, **kw)
-        # wide band (3D): Chebyshev-accelerated CG on the fast SpMM
-        return cg_inverse_factory(rtol=1e-5, maxiter=2000)(A_int)
+        # wide band (3D): Chebyshev-preconditioned CG on the fast SpMM —
+        # fixed odd-degree polynomial of D^-1 A as the (SPD) preconditioner
+        # cuts the dot-bearing outer iterations ~degree-fold
+        return cheb_cg_inverse_factory(rtol=1e-5, maxiter=300)(A_int)
     try:
         return rcm_banded_inverse_factory(A_int, **kw)
     except ValueError:
-        return cg_inverse_factory(rtol=1e-5, maxiter=2000)(A_int)
+        return cheb_cg_inverse_factory(rtol=1e-5, maxiter=300)(A_int)
 
 
 default_inverse_factory.internal = True
@@ -79,6 +82,7 @@ __all__ = [
     "factorize_banded_device",
     "cg_inverse_factory",
     "cg_solve",
+    "cheb_cg_inverse_factory",
     "chebyshev_apply",
     "chebyshev_inverse_factory",
     "FactorizedMatrix",

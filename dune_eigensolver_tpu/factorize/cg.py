@@ -39,6 +39,7 @@ def cg_solve_t(
     maxiter: int = 1000,
     gram_reduce: Optional[Callable] = None,
     x0: Optional[jax.Array] = None,
+    precond_apply: Optional[Callable] = None,
 ):
     """Solve ``A X = B`` for SPD A, all rows of the transposed multivector
     simultaneously. B: (m, n*).
@@ -46,13 +47,19 @@ def cg_solve_t(
     apply_a: Xt -> (A @ X)^T. inv_diag: (n*,) reciprocal diagonal of A for
     Jacobi preconditioning (guard positions must hold a finite filler —
     their residuals are zero so the value is irrelevant).
+    precond_apply: R -> M^-1 R, a FIXED SPD preconditioner application
+    (e.g. a Chebyshev polynomial of A); overrides the Jacobi default.
     gram_reduce: allreduce for sharded operands (dots become psums).
     Returns (X, iterations).
     """
     reduce_ = gram_reduce or (lambda g: g)
 
-    def precond(R):
-        return R if inv_diag is None else R * inv_diag[None, :]
+    if precond_apply is not None:
+        precond = precond_apply
+    else:
+
+        def precond(R):
+            return R if inv_diag is None else R * inv_diag[None, :]
 
     def rowdot(U, V):
         return reduce_(jnp.sum(U * V, axis=1))

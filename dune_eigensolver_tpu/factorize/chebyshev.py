@@ -201,8 +201,102 @@ def _estimate_lmax_jit(A_int, inv_diag, iters):
     )(A_int, inv_diag)
 
 
+def cheb_cg_inverse_factory(
+    degree: int = 7,
+    cond_target: float = 30.0,
+    rtol: float = 1e-5,
+    maxiter: int = 200,
+    lmax_scale: float = 1.1,
+    power_iters: int = 40,
+    gram_reduce: Optional[Callable] = None,
+    apply_a: Optional[Callable] = None,
+    fold=None,
+):
+    """Chebyshev-preconditioned CG inverse — the wide-band (3D) default.
+
+    Pure Jacobi-CG needs O(sqrt(kappa)) dot-product-bearing iterations; with
+    a fixed degree-d Chebyshev polynomial of ``D^-1 A`` as the CG
+    preconditioner the outer iteration count drops by ~d while each outer
+    step stays dot-free inside the polynomial — far fewer full-array
+    reduction passes on a bandwidth-bound operator (the preconditioner
+    dominates HBM traffic on the 10M-dof 3D run). The polynomial is FIXED
+    (constant bounds, odd degree -> SPD), as CG requires of its
+    preconditioner. Same (aux, memoized-fn) conventions as the other
+    factories; replaces the reference's exact UMFPACK inverse
+    (umfpacktools.hh:16-220) in the regime where direct factors fill
+    (3D, kernels_cpp.hh:660-755 has no answer there either).
+    """
+    if not cond_target > 1.0:
+        raise ValueError(f"cheb_cg: cond_target must be > 1, got {cond_target}")
+    if int(degree) < 1:
+        raise ValueError(f"cheb_cg: degree must be >= 1, got {degree}")
+
+    def inverse(A_int):
+        if apply_a is not None:
+            # sharded path: operator through the hook, dots through psum
+            inv_diag = _inv_diag_of(A_int) if A_int is not None else None
+            n_int = A_int.data.shape[-1] if hasattr(A_int, "data") else A_int.shape[0]
+            lmax = (
+                _power_lmax_t(
+                    apply_a, inv_diag, n_int, A_int.dtype, power_iters,
+                    gram_reduce, fold=fold,
+                )
+                * lmax_scale
+            )
+            lmin = lmax / cond_target
+
+            def solve(Xt):
+                Y, _ = _cg_cheb_run(
+                    apply_a, Xt, inv_diag, lmin, lmax, int(degree),
+                    rtol, maxiter, gram_reduce,
+                )
+                return Y
+
+            solve.layout_t = True
+            return solve
+
+        inv_diag = _inv_diag_of(A_int)
+        lmax = _estimate_lmax_jit(A_int, inv_diag, int(power_iters)) * lmax_scale
+        lmin = lmax / cond_target
+        aux = (A_int, inv_diag, lmin, lmax)
+        return aux, _cheb_cg_solve_fn(int(degree), float(rtol), int(maxiter))
+
+    inverse.internal = True
+    return inverse
+
+
+def _cg_cheb_run(apply_a, Xt, inv_diag, lmin, lmax, degree, rtol, maxiter, gr):
+    from dune_eigensolver_tpu.factorize.cg import cg_solve_t
+
+    precond = lambda R: chebyshev_apply_t(  # noqa: E731
+        apply_a, R, lmin, lmax, degree, inv_diag
+    )
+    return cg_solve_t(
+        apply_a, Xt, rtol=rtol, maxiter=maxiter, gram_reduce=gr,
+        precond_apply=precond,
+    )
+
+
 _ESTIMATE_FNS = {}
 _CHEB_SOLVE_FNS = {}
+_CHEB_CG_SOLVE_FNS = {}
+
+
+def _cheb_cg_solve_fn(degree, rtol, maxiter):
+    key = (degree, rtol, maxiter)
+    if key not in _CHEB_CG_SOLVE_FNS:
+
+        def solve_pair(aux, Xt, _deg=degree, _rtol=rtol, _mx=maxiter):
+            A_, inv_diag, lmin, lmax = aux
+            Y, _ = _cg_cheb_run(
+                lambda V: spmm_t(A_, V), Xt, inv_diag, lmin, lmax, _deg,
+                _rtol, _mx, None,
+            )
+            return Y
+
+        solve_pair.layout_t = True
+        _CHEB_CG_SOLVE_FNS[key] = solve_pair
+    return _CHEB_CG_SOLVE_FNS[key]
 
 
 def _cheb_solve_fn(degree, jacobi):

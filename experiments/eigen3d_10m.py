@@ -41,13 +41,24 @@ def main():
     t_build = time.perf_counter() - t0
     print(f"build+upload: n={n:,} in {t_build:.1f}s", flush=True)
 
-    if spec.startswith("cheb"):
+    if spec.isdigit():  # legacy positional form: bare iteration count = cgK
+        prec = cg_inverse_factory(rtol=1e-2, maxiter=int(spec))
+    elif spec.startswith("chebcg"):
+        from dune_eigensolver_tpu.factorize import cheb_cg_inverse_factory
+
+        parts = spec[6:].split(",")
+        deg = int(parts[0]) if parts[0] else 7
+        cond = float(parts[1]) if len(parts) > 1 else 30.0
+        prec = cheb_cg_inverse_factory(degree=deg, cond_target=cond, rtol=1e-2, maxiter=25)
+    elif spec.startswith("cheb"):
         parts = spec[4:].split(",")
         deg = int(parts[0]) if parts[0] else 16
         cond = float(parts[1]) if len(parts) > 1 else 30.0
         prec = chebyshev_inverse_factory(degree=deg, cond_target=cond)
-    else:
+    elif spec.startswith("cg"):
         prec = cg_inverse_factory(rtol=1e-2, maxiter=int(spec[2:] or 25))
+    else:
+        raise ValueError(f"unrecognized preconditioner spec {spec!r}")
     print(f"precond: {spec}", flush=True)
     run = lambda: lobpcg_generalized(
         A, B, nev=nev, tol=2e-3, maxiter=300, shift=0.0, precond=prec,
