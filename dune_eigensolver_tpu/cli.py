@@ -391,11 +391,12 @@ def matvec_performance_test(ptree) -> dict:
     X = jax.random.normal(key, (n, m), dtype=dt)
     Xt = jnp.asarray(X.T)
 
+    interp = jax.devices()[0].platform != "tpu"  # CPU: interpret-mode Pallas
     results = {}
     variants = [("xla", lambda V: spmm(A, V), X)]
     if m % 8 == 0:  # transposed kernels want whole f32 sublane groups
         variants += [
-            ("pallas_t", lambda V: dia_spmm_t_pallas(A, V), Xt),
+            ("pallas_t", lambda V: dia_spmm_t_pallas(A, V, interpret=interp), Xt),
             ("xla_t", lambda V: dia_spmm_t_xla(A, V), Xt),
         ]
     for name, fn, arg in variants:
@@ -407,6 +408,40 @@ def matvec_performance_test(ptree) -> dict:
             f"RESULT {name} {n} {nnz} {m} {gf:.2f} GFLOP/s {gb:.1f} GB/s",
             flush=True,
         )
+
+    # general-sparsity kernels (windowed-gather Pallas vs XLA gather) on the
+    # elasticity BSR operator and its scalar ELL expansion — the operand
+    # class the reference streams as raw CSR/BCRS (kernels_cpp.hh:626-657)
+    if m % 8 == 0:
+        from dune_eigensolver_tpu.kernels.gather_spmm import (
+            make_windowed_operands,
+        )
+        from dune_eigensolver_tpu.sparse.formats import ell_from_scipy
+        from dune_eigensolver_tpu.sparse.spmm import spmm_t
+
+        Ab, _ = problems.elasticity_2d(max(2, N // 2), dtype=dt)
+        Ae = ell_from_scipy(Ab.to_scipy(), dtype=dt)
+        for name, M in (("bsr", Ab), ("ell", Ae)):
+            try:
+                M_int, _, L = make_windowed_operands(M)
+            except ValueError:
+                print(f"RESULT {name}_win skipped (window overflow)", flush=True)
+                continue
+            Xw = jax.random.normal(key, (m, L.width), dtype=dt)
+            for variant, op, arg in (
+                (f"{name}_win", M_int, Xw),
+                (f"{name}_xla", M, Xw[:, : M.shape[0]]),
+            ):
+                t = _bench_op(lambda V, _op=op: spmm_t(_op, V), arg, n_iter=20)
+                gf = flops_spmm(M.nnz, m) / t / 1e9
+                # effective bytes: coefficients+indices once, X and Y once
+                bts = (2 * M.nnz + 2 * M.shape[0] * m) * dt.itemsize
+                results[variant] = gf
+                print(
+                    f"RESULT {variant} {M.shape[0]} {M.nnz} {m} "
+                    f"{gf:.2f} GFLOP/s {bts / t / 1e9:.1f} GB/s",
+                    flush=True,
+                )
     return results
 
 

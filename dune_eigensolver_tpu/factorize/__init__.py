@@ -40,8 +40,12 @@ def default_inverse_factory(A_int, **kw):
     from dune_eigensolver_tpu.factorize.banded import _DEVICE_BW_MAX
     from dune_eigensolver_tpu.factorize.reordered import rcm_banded_inverse_factory
     from dune_eigensolver_tpu.kernels.dia_spmm import PaddedDIA
+    from dune_eigensolver_tpu.kernels.gather_spmm import WindowedBSR, WindowedELL
     from dune_eigensolver_tpu.sparse.formats import DIAMatrix
 
+    if isinstance(A_int, (WindowedELL, WindowedBSR)):
+        # gather-kernel internal operand: factorize from the logical matrix
+        A_int = A_int.to_logical()
     if isinstance(A_int, (DIAMatrix, PaddedDIA)):
         bw = max(abs(o) for o in A_int.offsets)
         if bw <= _DEVICE_BW_MAX:

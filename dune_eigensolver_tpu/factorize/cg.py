@@ -124,9 +124,7 @@ def cg_solve(
 
 def _inv_diag_of(A_int):
     """Guard-safe reciprocal diagonal of an internal operand."""
-    from dune_eigensolver_tpu.kernels.dia_spmm import PaddedDIA
-
-    if isinstance(A_int, PaddedDIA):
+    if hasattr(A_int, "padded_diagonal"):  # PaddedDIA / Windowed{ELL,BSR}
         return 1.0 / A_int.padded_diagonal(fill=1.0)
     if hasattr(A_int, "diagonal"):
         return 1.0 / A_int.diagonal()

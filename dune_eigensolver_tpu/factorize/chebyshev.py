@@ -43,6 +43,17 @@ from dune_eigensolver_tpu.factorize.cg import _inv_diag_of
 from dune_eigensolver_tpu.sparse.spmm import spmm_t
 
 
+def _internal_width(A_int) -> int:
+    """Internal (padded) row width of an operand: Windowed containers carry
+    it explicitly, PaddedDIA/DIA expose it as data's lane dim."""
+    w = getattr(A_int, "width", None)
+    if isinstance(w, int):
+        return w
+    if hasattr(A_int, "data"):
+        return A_int.data.shape[-1]
+    return A_int.shape[0]
+
+
 def _power_lmax_t(apply_a, inv_diag, n_int, dtype, iters, gram_reduce, fold=None):
     """Largest eigenvalue of ``D^-1 A`` by blocked power iteration
     (device-side, transposed layout: an 8-row block costs the same as one
@@ -154,7 +165,7 @@ def chebyshev_inverse_factory(
             inv_diag = (
                 _inv_diag_of(A_int) if (jacobi and A_int is not None) else None
             )
-            n_int = A_int.data.shape[-1] if hasattr(A_int, "data") else A_int.shape[0]
+            n_int = _internal_width(A_int)
             lmax = (
                 _power_lmax_t(
                     apply_a, inv_diag, n_int, A_int.dtype, power_iters,
@@ -192,7 +203,7 @@ def _estimate_lmax_jit(A_int, inv_diag, iters):
             lambda A_, d_, _it=iters: _power_lmax_t(
                 lambda V: spmm_t(A_, V),
                 d_,
-                A_.data.shape[-1] if hasattr(A_, "data") else A_.shape[0],
+                _internal_width(A_),
                 A_.dtype,
                 _it,
                 None,
@@ -235,7 +246,7 @@ def cheb_cg_inverse_factory(
         if apply_a is not None:
             # sharded path: operator through the hook, dots through psum
             inv_diag = _inv_diag_of(A_int) if A_int is not None else None
-            n_int = A_int.data.shape[-1] if hasattr(A_int, "data") else A_int.shape[0]
+            n_int = _internal_width(A_int)
             lmax = (
                 _power_lmax_t(
                     apply_a, inv_diag, n_int, A_int.dtype, power_iters,

@@ -118,11 +118,35 @@ def make_engine(
     it in interpret mode), False forces plain; None -> padded iff both
     operands are DIA and a TPU is attached.
     """
+    from dune_eigensolver_tpu.sparse.formats import BSRMatrix, ELLMatrix
+
     is_dia = isinstance(A_sh, DIAMatrix) and (B is None or isinstance(B, DIAMatrix))
     use_padded = is_dia if force_padded is None else (force_padded and is_dia)
     if force_padded is None:
         use_padded = use_padded and _on_tpu()
     if not use_padded:
+        # general sparsity: windowed-gather Pallas engine for ELL/BSR
+        # operand sets (kernels/gather_spmm.py), same guard invariants
+        # (G = 0, zero pad columns preserved by zero-coefficient pad rows)
+        winable = (DIAMatrix, ELLMatrix, BSRMatrix)
+        is_win = (
+            isinstance(A_sh, (ELLMatrix, BSRMatrix))
+            and isinstance(A_sh, winable)
+            and (B is None or isinstance(B, winable))
+        )
+        use_win = is_win if force_padded is None else (force_padded and is_win)
+        if force_padded is None:
+            use_win = use_win and _on_tpu()
+        if use_win:
+            from dune_eigensolver_tpu.kernels.gather_spmm import (
+                make_windowed_operands,
+            )
+
+            try:
+                A_int, B_int, L = make_windowed_operands(A_sh, B)
+                return A_int, B_int, L, EngineSpec(0, L.n, L.width)
+            except ValueError:
+                pass  # window overflow: XLA fallback below
         return A_sh, B, None, EngineSpec(None, None, None)
     union = set(A_sh.offsets)
     if B is not None:

@@ -174,6 +174,10 @@ def _spec_of(A_int):
 
     if isinstance(A_int, PaddedDIA):
         return EngineSpec(A_int.guard, A_int.n, A_int.data.shape[1])
+    from dune_eigensolver_tpu.kernels.gather_spmm import WindowedBSR, WindowedELL
+
+    if isinstance(A_int, (WindowedELL, WindowedBSR)):
+        return EngineSpec(0, A_int.n, A_int.width)
     return EngineSpec(None, None, None)
 
 

@@ -157,3 +157,135 @@ def laplacian_dirichlet_3d(N: int, dtype=np.float32) -> DIAMatrix:
     return DIAMatrix(
         data=_laplacian_3d_device(N, dtype), offsets=offsets, shape=(n, n)
     )
+
+
+# ---------------------------------------------------------------------------
+# Non-stencil operators (block / unstructured sparsity)
+# ---------------------------------------------------------------------------
+
+
+def elasticity_2d(
+    N: int,
+    E: float = 1.0,
+    nu: float = 0.3,
+    dtype=np.float64,
+    lumped_mass: bool = True,
+):
+    """2D plane-stress linear elasticity on an N x N Q1 quad mesh, clamped
+    boundary: the elasticity-type operator class the reference stores as
+    ``BCRSMatrix<FieldMatrix<double,2,2>>`` (block pattern of
+    umfpacktools.hh:57-95). Returns (A, B) as block-ELL ``BSRMatrix`` with
+    (2, 2) blocks: A = stiffness, B = (lumped) mass.
+
+    Assembled host-side with 2x2 Gauss quadrature on the canonical bilinear
+    element; boundary nodes are eliminated (interior (N-1)^2 nodes, two dofs
+    each, lexicographic) so the spectrum is that of the clamped plate.
+    """
+    import scipy.sparse as sp
+
+    from dune_eigensolver_tpu.sparse.formats import bsr_from_scipy
+
+    if N < 2:
+        raise ValueError("elasticity_2d: need N >= 2")
+    h = 1.0 / N
+    gp = (-1.0 / np.sqrt(3.0), 1.0 / np.sqrt(3.0))
+    D = (E / (1.0 - nu * nu)) * np.array(
+        [[1.0, nu, 0.0], [nu, 1.0, 0.0], [0.0, 0.0, (1.0 - nu) / 2.0]]
+    )
+    Ke = np.zeros((8, 8))
+    Me = np.zeros((8, 8))
+    J = h / 2.0
+    for xi in gp:
+        for eta in gp:
+            dN = 0.25 * np.array(
+                [
+                    [-(1 - eta), (1 - eta), (1 + eta), -(1 + eta)],
+                    [-(1 - xi), -(1 + xi), (1 + xi), (1 - xi)],
+                ]
+            )
+            Nsh = 0.25 * np.array(
+                [(1 - xi) * (1 - eta), (1 + xi) * (1 - eta),
+                 (1 + xi) * (1 + eta), (1 - xi) * (1 + eta)]
+            )
+            dNxy = dN / J
+            Bm = np.zeros((3, 8))
+            Bm[0, 0::2] = dNxy[0]
+            Bm[1, 1::2] = dNxy[1]
+            Bm[2, 0::2] = dNxy[1]
+            Bm[2, 1::2] = dNxy[0]
+            Ke += (Bm.T @ D @ Bm) * (J * J)
+            Nv = np.zeros((2, 8))
+            Nv[0, 0::2] = Nsh
+            Nv[1, 1::2] = Nsh
+            Me += (Nv.T @ Nv) * (J * J)
+
+    nn = N + 1  # nodes per side
+    node = lambda i, j: i * nn + j  # noqa: E731
+    rows, cols, vK, vM = [], [], [], []
+    for ei in range(N):
+        for ej in range(N):
+            nodes = [
+                node(ei, ej), node(ei, ej + 1),
+                node(ei + 1, ej + 1), node(ei + 1, ej),
+            ]
+            dofs = np.array([2 * q + c for q in nodes for c in (0, 1)])
+            rows.append(np.repeat(dofs, 8))
+            cols.append(np.tile(dofs, 8))
+            vK.append(Ke.ravel())
+            vM.append(Me.ravel())
+    ndof = 2 * nn * nn
+    K = sp.coo_matrix(
+        (np.concatenate(vK), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(ndof, ndof),
+    ).tocsr()
+    M = sp.coo_matrix(
+        (np.concatenate(vM), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(ndof, ndof),
+    ).tocsr()
+    ij = np.arange(nn)
+    interior = np.array(
+        [node(i, j) for i in ij[1:-1] for j in ij[1:-1]], dtype=np.int64
+    )
+    keep = np.stack([2 * interior, 2 * interior + 1], axis=1).ravel()
+    K = K[keep][:, keep].tocsr()
+    M = M[keep][:, keep].tocsr()
+    if lumped_mass:
+        M = sp.diags(np.asarray(M.sum(axis=1)).ravel()).tocsr()
+    A = bsr_from_scipy(K, block=(2, 2), dtype=dtype)
+    B = bsr_from_scipy(M, block=(2, 2), dtype=dtype)
+    return A, B
+
+
+def unstructured_laplacian(
+    n: int, extra_edges: int = 0, seed: int = 0, dtype=np.float64, fmt: str = "ell"
+):
+    """Graph Laplacian (+I) of a random-permuted 1D chain with ``extra_edges``
+    random long-range couplings — an UNSTRUCTURED pattern no DIA container
+    can hold (the operator class the reference handles through arbitrary
+    CSR, kernels_cpp.hh:626-657). Returns an ELLMatrix (fmt='ell') or a
+    scipy CSR (fmt='scipy'); RCM-reorder before feeding the windowed TPU
+    kernel (sparse.reorder.rcm_pencil)."""
+    import scipy.sparse as sp
+
+    from dune_eigensolver_tpu.sparse.formats import ell_from_scipy
+
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    src = perm[:-1]
+    dst = perm[1:]
+    if extra_edges:
+        e1 = rng.integers(0, n, extra_edges)
+        e2 = rng.integers(0, n, extra_edges)
+        mask = e1 != e2
+        src = np.concatenate([src, e1[mask]])
+        dst = np.concatenate([dst, e2[mask]])
+    W = sp.coo_matrix(
+        (np.ones(len(src)), (src, dst)), shape=(n, n)
+    )
+    W = W + W.T
+    W.data[:] = 1.0
+    L = sp.diags(np.asarray(W.sum(axis=1)).ravel()) - W + sp.eye(n)
+    L = sp.csr_matrix(L)
+    if fmt == "scipy":
+        return L
+    return ell_from_scipy(L, dtype=dtype)

@@ -121,10 +121,18 @@ def spmm_t(A, Xt: jax.Array, donate: bool = False) -> jax.Array:
         padded_spmm,
     )
 
+    from dune_eigensolver_tpu.kernels.gather_spmm import (
+        WindowedBSR,
+        WindowedELL,
+        windowed_spmm_t,
+    )
+
     if isinstance(A, PaddedDIA):
         if donate and min(A.offsets, default=0) < -A.tile:
             donate = False  # in-place unsafe for far-left clusters (3D)
         return padded_spmm(A, Xt, donate=donate, interpret=not _on_tpu())
+    if isinstance(A, (WindowedELL, WindowedBSR)):
+        return windowed_spmm_t(A, Xt, interpret=not _on_tpu())
     if isinstance(A, DIAMatrix):
         return dia_spmm_t_xla(A, Xt)
     if isinstance(A, ELLMatrix):
