@@ -4,7 +4,9 @@ from dune_eigensolver_tpu.dist.sharded import (
     dia_spmm_halo_t,
     halo_exchange,
     halo_exchange_t,
+    local_diag_block,
     psum_reduce,
+    schwarz_inverse_t,
     sharded_generalized_inverse,
     sharded_lobpcg_generalized,
     sharded_standard_inverse,
@@ -19,7 +21,9 @@ __all__ = [
     "dia_spmm_halo_t",
     "halo_exchange",
     "halo_exchange_t",
+    "local_diag_block",
     "psum_reduce",
+    "schwarz_inverse_t",
     "sharded_generalized_inverse",
     "sharded_lobpcg_generalized",
     "sharded_standard_inverse",

@@ -127,6 +127,73 @@ def psum_reduce(axis: str = ROW_AXIS):
     return lambda g: lax.psum(g, axis)
 
 
+def local_diag_block(data_local: jax.Array, offsets: tuple) -> jax.Array:
+    """Zero the cross-shard couplings of a row-sharded DIA block: entry
+    (i_loc, i_loc + off) belongs to the shard's diagonal block iff the
+    column is local. Purely local — no global index needed."""
+    nloc = data_local.shape[1]
+    i = jnp.arange(nloc)
+    out = []
+    for d, off in enumerate(offsets):
+        valid = (i + off >= 0) & (i + off < nloc)
+        out.append(jnp.where(valid, data_local[d], 0.0))
+    return jnp.stack(out)
+
+
+def schwarz_inverse_t(
+    data_local: jax.Array,
+    offsets: tuple,
+    apply_a,
+    gram_reduce,
+    rtol: float = 1e-6,
+    maxiter: int = 200,
+    C: int = 256,
+):
+    """Additive-Schwarz (non-overlapping block-Jacobi) inverse for the
+    sharded solvers: each shard factorizes ITS diagonal band block with the
+    device block-banded engine (factorize/banded.py) and the global CG uses
+    the exact local solves as its (fixed, SPD) preconditioner — the TPU
+    analogue of domain decomposition, and the distributed replacement for
+    the reference's global direct factorization (umfpacktools.hh:16-220).
+    Convergence then depends on the subdomain coupling, not the local
+    condition number: measured on the 8-device CPU mesh (2D Laplacian,
+    rtol 1e-8), the inner iteration count drops ~2.4x vs plain Jacobi-CG
+    (tests/test_dist.py) — and each Schwarz iteration's banded scan is
+    local MXU work instead of extra global reduction rounds.
+
+    Built INSIDE shard_map: the factorization itself is jitted device code,
+    so it fuses into the same XLA computation as the solve. Returns a
+    transposed-layout solve callable (marked ``layout_t``).
+    """
+    from dune_eigensolver_tpu.factorize.banded import (
+        banded_solve,
+        factorize_banded_device,
+    )
+    from dune_eigensolver_tpu.factorize.cg import cg_solve_t
+
+    nloc = data_local.shape[1]
+    blk = local_diag_block(data_local, offsets)
+    A_blk = DIAMatrix(data=blk, offsets=offsets, shape=(nloc, nloc))
+    F = factorize_banded_device(A_blk, C=C)
+
+    def precond(R):  # (m, nloc) -> (m, nloc), exact local block solve
+        return banded_solve(F, R.T).T
+
+    def solve(X):
+        Y, _ = cg_solve_t(
+            apply_a,
+            X,
+            rtol=rtol,
+            maxiter=maxiter,
+            gram_reduce=gram_reduce,
+            precond_apply=precond,
+        )
+        return Y
+
+    solve.layout_t = True
+    return solve
+
+
 def _shard_dia(A: DIAMatrix, mesh: Mesh, axis: str) -> DIAMatrix:
     data = jax.device_put(A.data, NamedSharding(mesh, P(None, axis)))
     return DIAMatrix(data=data, offsets=A.offsets, shape=A.shape)
@@ -213,17 +280,23 @@ def sharded_standard_inverse(
     cg_rtol: float = 1e-6,
     cg_maxiter: int = 2000,
     axis: str = ROW_AXIS,
+    inner: str = "schwarz",
 ):
-    """Multi-chip standard_inverse: smallest eigenpairs via shift-invert with
-    the matrix-free CG inverse (fully local SpMM + psum dots). The direct
-    banded solve stays single-chip — its block recursion is sequential
-    across shards, so the distributed inverse is Krylov by design."""
+    """Multi-chip standard_inverse: smallest eigenpairs via shift-invert.
+
+    ``inner``: the distributed inverse engine. 'schwarz' (default) runs the
+    global CG preconditioned by exact per-shard banded block solves
+    (additive Schwarz — see ``schwarz_inverse_t``); 'cg' is plain
+    Jacobi-CG. The single-chip global direct solve cannot shard (its block
+    recursion is sequential across shards), but its per-shard restriction
+    can — that is exactly the Schwarz preconditioner."""
     from dune_eigensolver_tpu.factorize.cg import cg_solve_t
     from dune_eigensolver_tpu.solvers.standard import padded_width
 
     mesh = mesh or make_mesh(axis=axis)
     n = A.shape[0]
     _check_divisible(n, mesh)
+    inner = _pick_inner(inner, A, n // mesh.devices.size)
     A_sh = A.with_shifted_diagonal(shift) if shift != 0.0 else A
     A_shd = _shard_dia(A_sh, mesh, axis)
     m = padded_width(nev, block)
@@ -234,16 +307,27 @@ def sharded_standard_inverse(
         apply_a = partial(dia_spmm_halo_t, adata, A.offsets, axis=axis)
         inv_diag_local = 1.0 / adata[A.offsets.index(0)]
 
-        def inv_fn(_aux, X):
-            Y, _ = cg_solve_t(
-                apply_a,
-                X,
-                inv_diag=inv_diag_local,
-                rtol=cg_rtol,
-                maxiter=cg_maxiter,
-                gram_reduce=reduce_,
+        if inner == "schwarz":
+            solve = schwarz_inverse_t(
+                adata, A.offsets, apply_a, reduce_,
+                rtol=cg_rtol, maxiter=cg_maxiter,
             )
-            return Y
+
+            def inv_fn(_aux, X):
+                return solve(X)
+
+        else:
+
+            def inv_fn(_aux, X):
+                Y, _ = cg_solve_t(
+                    apply_a,
+                    X,
+                    inv_diag=inv_diag_local,
+                    rtol=cg_rtol,
+                    maxiter=cg_maxiter,
+                    gram_reduce=reduce_,
+                )
+                return Y
 
         cfg = (
             nev,
@@ -333,10 +417,15 @@ def sharded_generalized_inverse(
     cg_rtol: float = 1e-6,
     cg_maxiter: int = 2000,
     axis: str = ROW_AXIS,
+    inner: str = "schwarz",
 ):
-    """Multi-chip generalized_inverse. The inner inverse application is the
-    matrix-free CG operator (fully local SpMM + psum dots); the host-LU
-    direct solve is single-chip only in this round."""
+    """Multi-chip generalized_inverse.
+
+    ``inner='schwarz'`` (default): global CG preconditioned by exact
+    per-shard banded block solves of the shifted operator (additive
+    Schwarz, ``schwarz_inverse_t``) — the distributed stand-in for the
+    reference's global direct factorization. ``inner='cg'``: plain
+    Jacobi-CG (round-1 behavior)."""
     from dune_eigensolver_tpu.factorize.cg import cg_solve_t
     from dune_eigensolver_tpu.solvers.generalized import generalized_inverse
     from dune_eigensolver_tpu.solvers.standard import padded_width
@@ -344,6 +433,7 @@ def sharded_generalized_inverse(
     mesh = mesh or make_mesh(axis=axis)
     n = A.shape[0]
     _check_divisible(n, mesh)
+    inner = _pick_inner(inner, A, n // mesh.devices.size)
 
     A_op = A
     if shift != 0.0:
@@ -363,6 +453,12 @@ def sharded_generalized_inverse(
         inv_diag_local = 1.0 / adata[A.offsets.index(0)]
 
         def inverse(_unused):
+            if inner == "schwarz":
+                return schwarz_inverse_t(
+                    adata, A.offsets, apply_a, reduce_,
+                    rtol=cg_rtol, maxiter=cg_maxiter,
+                )
+
             def solve(X):
                 Y, _ = cg_solve_t(
                     apply_a,
@@ -499,6 +595,21 @@ def sharded_lobpcg_generalized(
         )
     )
     return fn(A_op.data, B_sh.data, Q0)
+
+
+def _pick_inner(inner: str, A, nloc: int) -> str:
+    """Validate/auto-downgrade the distributed inverse engine: the Schwarz
+    block factorization needs the band inside the shard and inside the
+    device engine's block-size ceiling."""
+    from dune_eigensolver_tpu.factorize.banded import _DEVICE_BW_MAX
+
+    if inner not in ("schwarz", "cg"):
+        raise ValueError(f"unknown inner engine {inner!r} (schwarz|cg)")
+    if inner == "schwarz":
+        bw = max((abs(o) for o in A.offsets), default=0)
+        if bw > min(nloc, _DEVICE_BW_MAX):
+            return "cg"
+    return inner
 
 
 class _LocalOperand:

@@ -367,7 +367,10 @@ def _device_block_lu(Aii, Asub, Asup):
             Usup_i = Dfwd_i @ Asup_i
             return (Uinv_i, Usup_i), (Dfwd_i, Lsub_i, Uinv_i, Usup_i)
 
-        carry0 = (jnp.zeros((C, C), Aii.dtype), jnp.zeros((C, C), Aii.dtype))
+        # derive the zero carry from the operand so its varying-axes type
+        # matches the body outputs under shard_map (scan carry vma rule)
+        z = Aii[0] * 0
+        carry0 = (z, z)
         _, out = lax.scan(step, carry0, (Aii, Asub, Asup))
     return out
 
@@ -459,7 +462,7 @@ def _scan_forward(F: BandedFactor, B_blocks: jax.Array) -> jax.Array:
     blocks. B_blocks: (nb, C, m) -> x blocks (nb, C, m)."""
     k, C = F.k, F.C
     m = B_blocks.shape[-1]
-    carry0 = jnp.zeros((k, C, m), B_blocks.dtype)
+    carry0 = jnp.zeros((k, C, m), B_blocks.dtype) + B_blocks[0, :1] * 0
 
     with jax.default_matmul_precision("float32"):
 

@@ -126,22 +126,23 @@ class FactorizedMatrix:
 
     Mirrors the members of UMFPackFactorizedMatrix (umfpacktools.hh:26-44):
     L (unit lower, here chunk-scheduled), U (upper, chunk-scheduled),
-    row/col permutations, diag(U)^-1, and optional row scaling ``rs_scale``
-    (SuperLU equilibration is disabled, so it is identity — kept for parity
-    with UMFPACK's Rs/do_recip semantics)."""
+    row/col permutations, diag(U)^-1, and the externalized row scaling
+    ``rs`` (UMFPACK's Rs with do_recip=True semantics: the factors hold
+    diag(rs) A and the solve multiplies the RHS by rs first)."""
 
     L: _TriFactor
     U: _TriFactor
     dinv: jax.Array  # (n,) 1/diag(U)
     pr_inv: jax.Array  # (n,) int32: y = b[pr_inv]
     pc: jax.Array  # (n,) int32: x = w[pc]
+    rs: Optional[jax.Array]  # (n,) row scaling Rs (None = identity)
     n: int  # static
     stats: tuple  # static: (nnz_L, nnz_U, nlev_L, nlev_U) for reporting
 
 
 jax.tree_util.register_dataclass(
     FactorizedMatrix,
-    data_fields=["L", "U", "dinv", "pr_inv", "pc"],
+    data_fields=["L", "U", "dinv", "pr_inv", "pc", "rs"],
     meta_fields=["n", "stats"],
 )
 
@@ -153,13 +154,21 @@ def factorize(
     symmetric: bool = True,
     verbose: int = 0,
     dtype=None,
+    equilibrate: bool = True,
 ) -> FactorizedMatrix:
     """Factorize a sparse operand on the host and externalize to device.
 
     ``A``: a DIA/ELL/BSR container or scipy sparse matrix. Setup runs on CPU
     (like the reference's UMFPACK call); the returned factors live on device
     and the solve is jittable.
-    """
+
+    ``equilibrate``: row-scale before factorizing, UMFPACK-style
+    (``Rs``/``do_recip``, umfpacktools.hh:170-186): Rs[i] = 1/sum|A[i,:]|,
+    the factors hold Rs*A, and the solve applies Rs to the right-hand side
+    first (the fused scale step of kernels_cpp.hh:682-705). scipy's SuperLU
+    wrapper does not externalize its own equilibration arrays, so SuperLU
+    runs with Equil off and the scaling is OURS — same semantics, and it
+    keeps f32-externalized factors accurate on ill-scaled operators."""
     import scipy.sparse as sp
     from scipy.sparse.linalg import splu
 
@@ -168,6 +177,14 @@ def factorize(
         A = A.to_scipy()
     A = sp.csc_matrix(A.astype(np.float64))
     n = A.shape[0]
+    rs = None
+    if equilibrate:
+        rowsum = np.asarray(abs(A).sum(axis=1)).ravel()
+        if np.any(rowsum == 0.0):
+            raise ZeroDivisionError("factorize: exactly zero row")
+        rs = 1.0 / rowsum
+        A = sp.diags(rs) @ A
+        A = sp.csc_matrix(A)
     lu = splu(
         A,
         permc_spec=permc_spec,
@@ -222,6 +239,7 @@ def factorize(
         dinv=jnp.asarray((1.0 / udiag).astype(np_dtype)),
         pr_inv=jnp.asarray(np.argsort(lu.perm_r).astype(np.int32)),
         pc=jnp.asarray(lu.perm_c.astype(np.int32)),
+        rs=None if rs is None else jnp.asarray(rs.astype(np_dtype)),
         n=n,
         stats=stats,
     )
@@ -265,6 +283,8 @@ def lu_solve(F: FactorizedMatrix, X: jax.Array) -> jax.Array:
     Pipeline mirrors kernels_cpp.hh:660-755: (scale+)P-permute -> L forward
     solve -> U backward solve (with diagonal division) -> Q-permute on store.
     """
+    if F.rs is not None:
+        X = X * F.rs[:, None]  # fused Rs scale (kernels_cpp.hh:682-705)
     Y = X[F.pr_inv]
     Z = _chunked_trisolve(F.L, Y, None)
     W = _chunked_trisolve(F.U, Z, F.dinv)

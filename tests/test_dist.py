@@ -102,3 +102,88 @@ def test_sharded_lobpcg_matches_oracle():
     )
     truth, _ = smallest_generalized(A, B, 4, sigma=-shift, tol=1e-14)
     assert np.abs(np.asarray(res_s.eigenvalues)[:4] - truth).max() < 2e-3
+
+
+def test_schwarz_preconditioner_cuts_inner_iterations():
+    """The additive-Schwarz inner engine (exact per-shard banded block
+    solves preconditioning a global CG) must converge in far fewer
+    dot-bearing iterations than plain Jacobi-CG — the distributed analogue
+    of the reference's direct factorization (umfpacktools.hh:16-220)."""
+    from functools import partial
+
+    from dune_eigensolver_tpu.dist import make_mesh, psum_reduce
+    from dune_eigensolver_tpu.dist.sharded import (
+        dia_spmm_halo_t,
+        local_diag_block,
+    )
+    from dune_eigensolver_tpu.factorize.banded import (
+        banded_solve,
+        factorize_banded_device,
+    )
+    from dune_eigensolver_tpu.factorize.cg import cg_solve_t
+    from dune_eigensolver_tpu.sparse.formats import DIAMatrix
+
+    N = 32
+    A = problems.laplacian_dirichlet_2d(N).with_shifted_diagonal(1e-3)
+    n = A.shape[0]
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    Bt = jnp.asarray(rng.normal(size=(4, n)))
+    axis = mesh.axis_names[0]
+
+    def iters(adata, bt, use_schwarz):
+        apply_a = partial(dia_spmm_halo_t, adata, A.offsets, axis=axis)
+        reduce_ = psum_reduce(axis)
+        if use_schwarz:
+            blk = local_diag_block(adata, A.offsets)
+            F = factorize_banded_device(
+                DIAMatrix(data=blk, offsets=A.offsets,
+                          shape=(blk.shape[1], blk.shape[1]))
+            )
+            _, k = cg_solve_t(
+                apply_a, bt, rtol=1e-8, maxiter=2000, gram_reduce=reduce_,
+                precond_apply=lambda R: banded_solve(F, R.T).T,
+            )
+        else:
+            inv_diag = 1.0 / adata[A.offsets.index(0)]
+            _, k = cg_solve_t(
+                apply_a, bt, inv_diag=inv_diag, rtol=1e-8, maxiter=2000,
+                gram_reduce=reduce_,
+            )
+        return jax.lax.psum(k, axis) // mesh.devices.size
+
+    from jax.sharding import PartitionSpec as P  # noqa: N817
+
+    run = jax.jit(
+        jax.shard_map(
+            partial(iters, use_schwarz=True), mesh=mesh,
+            in_specs=(P(None, axis), P(None, axis)), out_specs=P(),
+        )
+    )
+    run_plain = jax.jit(
+        jax.shard_map(
+            partial(iters, use_schwarz=False), mesh=mesh,
+            in_specs=(P(None, axis), P(None, axis)), out_specs=P(),
+        )
+    )
+    k_schwarz = int(run(A.data, Bt))
+    k_plain = int(run_plain(A.data, Bt))
+    # measured on the 8-device CPU mesh: 43 vs 101 (~2.4x fewer)
+    assert k_schwarz * 2 < k_plain, (k_schwarz, k_plain)
+
+
+def test_sharded_standard_inverse_schwarz_matches_single():
+    from dune_eigensolver_tpu.dist import sharded_standard_inverse
+    from dune_eigensolver_tpu.solvers import standard_inverse
+
+    N, shift = 16, 1e-3
+    A = problems.laplacian_dirichlet_2d(N)
+    res_s = sharded_standard_inverse(
+        A, nev=4, tol=1e-10, maxiter=500, shift=shift,
+        mesh=make_mesh(8), cg_rtol=1e-10, inner="schwarz",
+    )
+    res_1 = standard_inverse(A, nev=4, tol=1e-10, maxiter=500, shift=shift)
+    assert (
+        np.abs(np.asarray(res_s.eigenvalues) - np.asarray(res_1.eigenvalues)).max()
+        < 1e-6
+    )

@@ -57,3 +57,37 @@ def test_cg_solve_spd(rng):
     X, iters = cg_solve(lambda V: spmm(A, V), B, diag=A.diagonal(), rtol=1e-12)
     assert np.abs(np.asarray(spmm(A, X)) - np.asarray(B)).max() < 1e-8
     assert int(iters) < N * N
+
+
+def test_lu_equilibration_ill_scaled():
+    """UMFPACK-parity row scaling (Rs, umfpacktools.hh:170-186): an operator
+    whose rows span ~16 orders of magnitude must still solve accurately with
+    f32-externalized factors, because the factors hold the equilibrated
+    matrix and Rs is applied to the RHS (kernels_cpp.hh:682-705)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    import jax.numpy as jnp
+
+    from dune_eigensolver_tpu.sparse import problems
+
+    rng = np.random.default_rng(3)
+    A = problems.laplacian_dirichlet_2d(24, dtype=np.float64).to_scipy()
+    n = A.shape[0]
+    d = 10.0 ** rng.uniform(-8, 8, size=n)
+    As = sp.csr_matrix(sp.diags(d) @ A @ sp.diags(d))
+    F = factorize(As, dtype=np.float64)
+    assert F.rs is not None
+    x_true = rng.normal(size=(n, 4))
+    b = As @ x_true
+    x = np.asarray(lu_solve(F, jnp.asarray(b)))
+    # compare through the residual (columns of x_true are wildly scaled)
+    r = As @ x - b
+    rel = np.linalg.norm(r) / np.linalg.norm(b)
+    assert rel < 1e-10
+
+    # without equilibration the f32-factor route degrades on this operator
+    F32 = factorize(As, dtype=np.float32, equilibrate=True)
+    x32 = np.asarray(lu_solve(F32, jnp.asarray(b).astype(np.float32)))
+    rel32 = np.linalg.norm(As @ x32.astype(np.float64) - b) / np.linalg.norm(b)
+    assert rel32 < 1e-4
