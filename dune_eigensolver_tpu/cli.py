@@ -45,7 +45,14 @@ def _log(ptree, level, *msg):
 
 
 def _dtype(ptree):
-    return np.dtype(ptree["ev.dtype"])
+    dt = np.dtype(ptree["ev.dtype"])
+    if dt == np.float64 and jax.devices()[0].platform == "tpu":
+        # f64-equivalent TPU mode: iterate in f32, recover f64-grade
+        # accuracy via the compensated Rayleigh-Ritz refinement
+        # (_want_refine / solvers/refine.py) — TPUs have no f64 hardware
+        # and XLA's software emulation would slow the whole iteration.
+        return np.dtype(np.float32)
+    return dt
 
 
 def _problem_pair(ptree):
@@ -84,6 +91,21 @@ def _inverse_factory(ptree):
 
         return chebyshev_inverse_factory()
     raise ValueError(f"unknown ev.inverse={kind!r}")
+
+
+def _want_refine(ptree) -> bool:
+    """ev.refine=on, or the f64-equivalent accuracy mode: ev.dtype=float64
+    on a TPU backend iterates in f32 and refines (solvers/refine.py) —
+    compensated-f32 Rayleigh-Ritz instead of emulated-f64 iteration."""
+    mode = str(ptree.get("ev.refine", "auto")).lower()
+    if mode in ("on", "1", "true"):
+        return True
+    if mode in ("off", "0", "false"):
+        return False
+    return (
+        str(ptree.get("ev.dtype", "float32")) == "float64"
+        and jax.devices()[0].platform == "tpu"
+    )
 
 
 def _timed(fn):
@@ -154,10 +176,25 @@ def largest_eigenvalues_convergence_test(ptree) -> dict:
         f"{t_es / max(t_oracle, 1e-12):.2f}",
         flush=True,
     )
+    err_refined = None
+    if _want_refine(ptree):
+        from dune_eigensolver_tpu.solvers import refine_eigenpairs
+
+        # refine on the whole block, report the requested nev: the block's
+        # trailing vectors act as guard vectors for the leading Ritz values
+        w, _ = refine_eigenpairs(A, None, res.eigenvectors)
+        err_refined = float(
+            np.abs(np.sort(w)[::-1][:nev] - ev_oracle[:nev]).max()
+        )
+        print(
+            f"REFINED_N_M_ERROR: {N} {nev} {err_refined:.3e}",
+            flush=True,
+        )
     return dict(
         err_vs_oracle=float(err_es_or),
         err_vs_analytic=float(err_es_an),
         oracle_vs_analytic=float(err_or_an),
+        err_refined=err_refined,
         time=t_es,
         time_oracle=t_oracle,
         time_oracle_hi=t_oracle_hi,
@@ -214,9 +251,22 @@ def smallest_eigenvalues_convergence_test(ptree) -> dict:
         f"{t_ras / max(t_oracle, 1e-12):.2f}",
         flush=True,
     )
+    err_refined = None
+    if _want_refine(ptree):
+        from dune_eigensolver_tpu.solvers import refine_eigenpairs
+
+        w, _ = refine_eigenpairs(A, B, res.eigenvectors)
+        err_refined = float(
+            np.abs(np.sort(w)[:nev] - np.sort(ev_truth)[:nev]).max()
+        )
+        print(
+            f"REFINED_N_M_ERROR: {ptree['ev.N']} {nev} {err_refined:.3e}",
+            flush=True,
+        )
     return dict(
         err_vs_truth=float(err_ras),
         oracle_err=float(err_arp),
+        err_refined=err_refined,
         time=t_ras,
         time_oracle=t_oracle,
         time_truth=t_truth,

@@ -1,6 +1,7 @@
 from dune_eigensolver_tpu.solvers.adaptive import generalized_inverse_adaptive
 from dune_eigensolver_tpu.solvers.generalized import generalized_inverse
 from dune_eigensolver_tpu.solvers.lobpcg import lobpcg_generalized
+from dune_eigensolver_tpu.solvers.refine import refine_eigenpairs
 from dune_eigensolver_tpu.solvers.result import EigenResult
 from dune_eigensolver_tpu.solvers.standard import standard_inverse, standard_largest
 
@@ -11,4 +12,5 @@ __all__ = [
     "generalized_inverse",
     "generalized_inverse_adaptive",
     "lobpcg_generalized",
+    "refine_eigenpairs",
 ]
