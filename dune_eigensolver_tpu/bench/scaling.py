@@ -35,11 +35,18 @@ def weak_scaling_spmm(
     device_counts: Optional[List[int]] = None,
     dtype=np.float32,
     verbose: int = 0,
+    coupling: str = "islands",
 ) -> List[dict]:
     """Measure the sharded SpMM per-iteration time at fixed rows/device.
 
     rows_per_device must be a square (an N x N grid strip per device).
     Returns one record per mesh size with ``efficiency`` relative to P=1.
+
+    ``coupling``: 'islands' = p decoupled N x N Laplacians (the matrix the
+    reference's disabled matvec benchmark wanted, cc:421-425; exchanged
+    halo rows multiply zeros) or 'connected' = one N x (N*p) rectangular
+    Laplacian whose shard cuts carry REAL -1 couplings — halo data is live
+    and any correctness/overlap regression shows up in the numbers.
     """
     ndev_avail = len(jax.devices())
     counts = device_counts or [p for p in (1, 2, 4, 8) if p <= ndev_avail]
@@ -50,12 +57,11 @@ def weak_scaling_spmm(
     records = []
     t1 = None
     for p in counts:
-        # p decoupled N x N Laplacian "islands" (the matrix the reference's
-        # disabled matvec benchmark wanted, src/dune-eigensolver.cc:421-425):
-        # constant per-device work, and the halo exchange still runs at every
-        # strip boundary (the exchanged rows multiply zero coefficients).
         n = rows_per_device * p
-        Ap = problems.laplacian_islands_2d(Nloc, p, dtype=dtype)
+        if coupling == "connected":
+            Ap = problems.laplacian_dirichlet_rect(Nloc, Nloc * p, dtype=dtype)
+        else:
+            Ap = problems.laplacian_islands_2d(Nloc, p, dtype=dtype)
         mesh = make_mesh(p)
         A_sh = _shard_dia(Ap, mesh, ROW_AXIS)
         X = jax.device_put(
@@ -108,20 +114,26 @@ def weak_scaling_spmm(
 
 
 def scaling_test(ptree) -> List[dict]:
-    """CLI protocol: greppable ``SCALING P n t_us eff`` lines."""
+    """CLI protocol: greppable ``SCALING <coupling> P n t_us eff`` lines,
+    one sweep per coupling variant (islands + connected)."""
     rows = 1 << int(ptree.get("scaling.log2_rows_per_device", 12))
     m = int(ptree["mv.m"])
-    recs = weak_scaling_spmm(
-        rows_per_device=rows,
-        m=m,
-        n_iter=int(ptree.get("scaling.n_iter", 30)),
-        dtype=np.dtype(ptree["ev.dtype"]),
-        verbose=int(ptree["ev.verbose"]),
-    )
-    for r in recs:
-        print(
-            f"SCALING {r['devices']} {r['rows']} {r['t_iter']*1e6:.0f} "
-            f"{r['efficiency']:.3f}",
-            flush=True,
+    out = []
+    for coupling in ("islands", "connected"):
+        recs = weak_scaling_spmm(
+            rows_per_device=rows,
+            m=m,
+            n_iter=int(ptree.get("scaling.n_iter", 30)),
+            dtype=np.dtype(ptree["ev.dtype"]),
+            verbose=int(ptree["ev.verbose"]),
+            coupling=coupling,
         )
-    return recs
+        for r in recs:
+            r["coupling"] = coupling
+            print(
+                f"SCALING {coupling} {r['devices']} {r['rows']} "
+                f"{r['t_iter']*1e6:.0f} {r['efficiency']:.3f}",
+                flush=True,
+            )
+        out.extend(recs)
+    return out

@@ -159,6 +159,23 @@ def laplacian_dirichlet_3d(N: int, dtype=np.float32) -> DIAMatrix:
     )
 
 
+def laplacian_dirichlet_rect(Nx: int, Ny: int, dtype=np.float64) -> DIAMatrix:
+    """2D 5-point Laplacian on an Nx x Ny grid (row-major over y then x):
+    the CONNECTED weak-scaling operand — row-partitioning a strip of rows
+    cuts real -1 couplings, so halo exchanges carry live data (unlike the
+    islands matrix, whose exchanged rows multiply zeros)."""
+    n = Nx * Ny
+    offsets = (-Nx, -1, 0, 1, Nx)
+    data = np.zeros((5, n))
+    i = np.arange(n)
+    data[0] = np.where(i >= Nx, -1.0, 0.0)
+    data[1] = np.where(i % Nx != 0, -1.0, 0.0)
+    data[2] = 4.0
+    data[3] = np.where(i % Nx != Nx - 1, -1.0, 0.0)
+    data[4] = np.where(i < n - Nx, -1.0, 0.0)
+    return _dia(data, offsets, n, dtype)
+
+
 # ---------------------------------------------------------------------------
 # Non-stencil operators (block / unstructured sparsity)
 # ---------------------------------------------------------------------------

@@ -187,3 +187,45 @@ def test_sharded_standard_inverse_schwarz_matches_single():
         np.abs(np.asarray(res_s.eigenvalues) - np.asarray(res_1.eigenvalues)).max()
         < 1e-6
     )
+
+
+def test_rect_laplacian_matches_square():
+    Ar = problems.laplacian_dirichlet_rect(12, 12)
+    As = problems.laplacian_dirichlet_2d(12)
+    assert Ar.offsets == As.offsets
+    assert np.allclose(np.asarray(Ar.data), np.asarray(As.data))
+
+
+def test_connected_scaling_spmm_correct():
+    # the connected weak-scaling operand must agree with the single-chip
+    # SpMM — the halo rows carry real couplings here
+    from dune_eigensolver_tpu.bench.scaling import weak_scaling_spmm
+
+    recs = weak_scaling_spmm(
+        rows_per_device=256, m=8, n_iter=2, device_counts=[1, 4, 8],
+        coupling="connected",
+    )
+    assert [r["devices"] for r in recs] == [1, 4, 8]
+    Nloc = 16
+    A = problems.laplacian_dirichlet_rect(Nloc, Nloc * 8)
+    n = A.shape[0]
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.normal(size=(n, 8)))
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    f = jax.jit(
+        jax.shard_map(
+            partial(dia_spmm_halo, axis=axis),
+            mesh=mesh,
+            in_specs=(P(None, axis), None, P(axis, None)),
+            out_specs=P(axis, None),
+        ),
+        static_argnums=(1,),
+    )
+    Y = f(A.data, A.offsets, X)
+    Yref = spmm(A, X)
+    assert np.abs(np.asarray(Y) - np.asarray(Yref)).max() < 1e-10
