@@ -46,3 +46,54 @@ def largest_standard(A, nev: int, tol: float = 0.0):
     vals, vecs = eigsh(As, k=nev, which="LA", tol=tol)
     order = np.argsort(vals)[::-1]
     return vals[order], vecs[:, order]
+
+
+def smallest_standard_nonsym(
+    A, nev: int, sigma: float = 0.0, tol: float = 0.0, shift_b=None
+):
+    """nev eigenvalues of A x = lambda x nearest ``sigma`` for NON-symmetric
+    A, via ARPACK's non-symmetric shift-invert (scipy eigs).
+
+    Matches computeStdNonSymMinMagnitude (arpack_geneo_wrapper.hh:428-499).
+    ``shift_b`` selects the reference's OwnShiftMode (:92-107): the Arnoldi
+    operator is op = (A - sigma*B)^-1 B run as a STANDARD problem (no
+    B-inner products, so B may be semidefinite/non-symmetric), and the
+    pencil eigenvalues A x = lambda B x are recovered by the manual
+    un-shift lambda = sigma + 1/nu (:488-495). With shift_b=None the
+    problem is the ordinary standard one (B = I) and eigs performs the
+    identical transformation internally. Returns (values, vectors) sorted
+    by |lambda - sigma| ascending; values are complex in general.
+    """
+    from scipy.sparse.linalg import eigs
+
+    As = _to_scipy(A).astype(np.float64)
+    if shift_b is not None:
+        # OwnShiftMode: standard Arnoldi on (A - sigma*B)^-1 B, manual un-shift
+        from scipy.sparse.linalg import LinearOperator, splu
+
+        Bs = _to_scipy(shift_b).astype(np.float64)
+        lu = splu(sp.csc_matrix(As - sigma * Bs))
+        op = LinearOperator(As.shape, matvec=lambda v: lu.solve(Bs @ v))
+        nu, vecs = eigs(op, k=nev, which="LM", tol=tol)
+        vals = sigma + 1.0 / nu
+    else:
+        vals, vecs = eigs(As, k=nev, sigma=sigma, which="LM", tol=tol)
+    order = np.argsort(np.abs(vals - sigma))
+    return vals[order], vecs[:, order]
+
+
+def smallest_generalized_nonsym(A, B, nev: int, sigma: float = 0.0, tol: float = 0.0):
+    """nev eigenvalues of A x = lambda B x nearest ``sigma`` for
+    NON-symmetric pencils, via ARPACK's generalized shift-invert.
+
+    Matches computeGenNonSymShiftInvertMinMagnitude
+    (arpack_geneo_wrapper.hh:502-578, ARNonSymGenEig in mode 'S').
+    Returns (values, vectors) sorted by |lambda - sigma| ascending.
+    """
+    from scipy.sparse.linalg import eigs
+
+    As = _to_scipy(A).astype(np.float64)
+    Bs = _to_scipy(B).astype(np.float64)
+    vals, vecs = eigs(As, k=nev, M=Bs, sigma=sigma, which="LM", tol=tol)
+    order = np.argsort(np.abs(vals - sigma))
+    return vals[order], vecs[:, order]
