@@ -19,12 +19,17 @@ Design (one unified kernel, ``padded_spmm``):
 * the operator is pre-padded ONCE into the same geometry (``PaddedDIA``),
   so the iteration loop moves exactly: diagonals once, X once (+ halo
   overlap), Y once — the speed-of-light traffic model.
-* diagonal offsets are CLUSTERED (wide-band 3D stencils: {-N^2}, {-N..N},
-  {+N^2}); each cluster gets its own double-buffered HBM->VMEM window DMA
-  only as wide as tile + cluster span, so VMEM stays bounded regardless of
-  bandwidth. A narrow band is simply one cluster.
-* each diagonal contributes a static lane-shifted slice of its cluster
-  window times the per-row coefficient — pure VPU FMAs, no gathers.
+* diagonal offsets beyond the rolling cache (wide-band 3D stencils:
+  {-N^2}, {-N..N}, {+N^2}) are grouped by their tile quotient ``off // T``;
+  each group streams X once more through an EXTRA auto-pipelined blocked
+  input whose index map is shifted by the quotient, feeding a 2-slot
+  rolling VMEM window. Mosaic's pipeliner does all the DMA/double
+  buffering — no manual cross-grid-step async copies (those are not
+  reliably supported and produced silent corruption / backend errors on
+  v5e). A narrow band has no far groups and streams X exactly once.
+* each diagonal contributes a static lane-shifted slice of its (2- or
+  3-slot) window times the per-row coefficient — pure VPU FMAs, no
+  gathers.
 
 Measured (TPU v5e, n=4.2M 2D 5-point, m=8): the per-call-padding variant of
 round 1 ran at ~312 GB/s effective because every call copied X (and the
@@ -64,41 +69,14 @@ def dia_spmm_t_xla(A: DIAMatrix, Xt: jax.Array) -> jax.Array:
     return acc
 
 
-def _group_offsets(offsets, T):
-    """Cluster diagonal offsets so each cluster's span is <= T.
-
-    Returns (groups, span_max) where each group is (fl_base, members):
-    fl_base = 128-aligned floor of the smallest offset, members a tuple of
-    (diag_index, offset) sorted ascending.
-    """
-    pairs = sorted(enumerate(offsets), key=lambda p: p[1])
-    groups = []
-    cur_first = None
-    for d, off in pairs:
-        if cur_first is not None and off - cur_first <= T:
-            groups[-1].append((d, off))
-        else:
-            cur_first = off
-            groups.append([(d, off)])
-    out = []
-    span_max = 0
-    for members in groups:
-        first = members[0][1]
-        last = members[-1][1]
-        span_max = max(span_max, last - first)
-        fl_base = (first // 128) * 128
-        out.append((fl_base, tuple(members)))
-    return tuple(out), span_max
-
-
 class PaddedLayout:
     """Static geometry of the persistent zero-guarded transposed multivector.
 
     Logical column i of an (m, n) multivector lives at buffer column i + G;
     the guards [0, G) and [G + n, width) hold zeros which every kernel
     application rewrites, so chained SpMMs never re-pad. G is a multiple of
-    the tile T and satisfies G >= halo + span + 256 so every cluster window
-    of every tile stays inside the buffer.
+    the tile T and satisfies G >= halo + 2T so every (possibly quotient-
+    shifted) tile window an interior output tile reads stays un-clamped.
 
     Build the layout from the UNION of all operator offsets that will share
     it (e.g. A' and B of a generalized solve): ``guard`` must cover the
@@ -110,8 +88,7 @@ class PaddedLayout:
         if tile is None:
             tile = _pick_tile(n, m, offsets)
         T = _round_up(max(tile, 128), 128)
-        groups, span_max = _group_offsets(offsets, T)
-        G = _round_up(halo + span_max + 256, T)
+        G = _round_up(halo + 256, T) + 2 * T
         self.n, self.m = n, m
         self.T, self.G = T, G
         self.halo = halo
@@ -144,8 +121,7 @@ class PaddedLayout:
         """Pre-pad the operator's diagonal data into this geometry (do this
         ONCE at setup; the padded data is what iterates)."""
         halo = max((abs(o) for o in A.offsets), default=0)
-        _, span = _group_offsets(A.offsets, self.T)
-        if self.G < halo + span + 256:
+        if self.G < halo + 2 * self.T:
             raise ValueError(
                 f"layout guard {self.G} too small for operator halo {halo}; "
                 "build the PaddedLayout from the union of operator offsets"
@@ -225,20 +201,27 @@ jax.tree_util.register_dataclass(
 
 def _pick_tile(n: int, m: int, offsets, budget: int = 10 * 2**20) -> int:
     """Largest tile fitting the VMEM budget of the rolling-cache kernel:
-    3-slot rolling cache + 3-slot far-cluster windows + the auto pipeline's
-    double buffers for data/X/out. Measured on v5e (n=4.2M, 2D): T=32768
-    runs the kernel at the HBM copy roofline."""
+    3-slot rolling cache + 2-slot far-group windows + the auto pipeline's
+    double buffers for data/X/far-inputs/out. Measured on v5e (n=4.2M, 2D):
+    T=32768 runs the kernel at the HBM copy roofline.
+
+    Far-bearing stencils (wide-band 3D) get HALF the budget: the far-member
+    lane-shift concats materialize extra (mpad, T) temporaries the model
+    does not count, and on v5e the composed solver programs (LOBPCG while
+    -> CG while -> Chebyshev fori -> this kernel) silently produced NaNs at
+    a modeled ~9 MB while the same kernel ran clean standalone — empirical
+    safe point is a modeled <= ~5 MB when any far group exists."""
     mpad = _round_up(max(m, 8), 8)
     ndiag = max(len(offsets), 1)
     for T in (32768, 16384, 8192, 4096, 2048, 1024, 512, 256, 128):
-        center, far, span = _split_center_far(offsets, T)
-        w = _round_up(T + span + 256, 128)
+        center, far = _split_center_far(offsets, T)
+        nfar = len(far)
         use = (
             3 * mpad * T  # rolling cache
-            + 3 * len(far) * mpad * w  # far windows
-            + 2 * (ndiag + 2 * mpad) * T  # pipeline double buffers
+            + 2 * nfar * mpad * T  # far-group windows
+            + 2 * (ndiag + (2 + nfar) * mpad) * T  # pipeline double buffers
         ) * 4
-        if use <= budget:
+        if use <= (budget if nfar == 0 else budget // 2):
             # prefer >= 4 interior tiles so the pipeline overlaps
             if T > 128 and _round_up(n, T) // T < 4:
                 continue
@@ -248,64 +231,39 @@ def _pick_tile(n: int, m: int, offsets, budget: int = 10 * 2**20) -> int:
 
 def _split_center_far(offsets, T):
     """Center = offsets servable from the rolling {prev, cur, next} tile
-    cache (|off| <= T); far = the rest, clustered for manual window DMAs."""
+    cache (|off| <= T); far = the rest, grouped by tile quotient
+    ``q = off // T`` so each group's relative shift ``off - q*T`` lies in
+    [0, T) and is servable from a 2-slot window of tiles {j+q, j+q+1}."""
     center = tuple(
         (d, off) for d, off in enumerate(offsets) if -T <= off <= T
     )
-    far_offs = [(d, off) for d, off in enumerate(offsets) if not (-T <= off <= T)]
-    groups = []
-    span_max = 0
-    for d, off in sorted(far_offs, key=lambda p: p[1]):
-        if groups and off - groups[-1][1][0][1] <= T:
-            groups[-1][1].append((d, off))
-        else:
-            groups.append([(off // 128) * 128, [(d, off)]])
-    out = []
-    for fl_base, members in groups:
-        span_max = max(span_max, members[-1][1] - members[0][1])
-        out.append((fl_base, tuple(members)))
-    return center, tuple(out), span_max
+    groups = {}
+    for d, off in enumerate(offsets):
+        if -T <= off <= T:
+            continue
+        groups.setdefault(off // T, []).append((d, off))
+    far = tuple(
+        (q, tuple(sorted(members, key=lambda p: p[1])))
+        for q, members in sorted(groups.items())
+    )
+    return center, far
 
 
-def _kernel(center, far, T, W, width, mpad, data_ref, x_ref, *rest):
+def _kernel(center, far, T, mpad, data_ref, x_ref, *rest):
     # Rolling 3-tile VMEM cache: at grid step t the auto-pipelined input
     # block is X tile t; output tile j = t-1 is computed one step behind from
     # cached tiles {j-1, j, j+1}, so X streams through HBM exactly once and
-    # Mosaic's pipeliner overlaps everything. Guard tiles have all-zero
-    # coefficients, so edges self-correct (uninitialized cache slots and
-    # clamped far windows only ever multiply zeros).
+    # Mosaic's pipeliner overlaps everything. Each far group g (quotient q)
+    # has its OWN auto-pipelined input delivering X tile t+q (clamped) at
+    # step t into a 2-slot rolling window holding tiles {j+q, j+q+1}. Guard
+    # tiles have all-zero coefficients, so edges self-correct (uninitialized
+    # cache slots and clamp-repeated edge tiles only ever multiply zeros).
     nfar = len(far)
-    if nfar:
-        xany_ref, out_ref, xroll, fbuf, sems = rest
-    else:
-        out_ref, xroll = rest
+    far_refs = rest[:nfar]
+    out_ref = rest[nfar]
+    xroll = rest[nfar + 1]
+    fwins = rest[nfar + 2 :]
     t = pl.program_id(0)
-    nt_total = pl.num_programs(0)
-
-    def far_dma(j, g):
-        fl_base, _ = far[g]
-        # window for output tile j starts at j*T + fl_base (clamped; guard
-        # tiles read arbitrary in-range data and multiply it by zero).
-        # Lifetime spans issue at step j-1 .. consume at step j+1, so slots
-        # rotate mod 3.
-        start = jnp.clip(j * T + fl_base, 0, width - W)
-        start = pl.multiple_of(start, 128)
-        return pltpu.make_async_copy(
-            xany_ref.at[:, pl.ds(start, W)],
-            fbuf.at[j % 3, g],
-            sems.at[j % 3, g],
-        )
-
-    if nfar:
-        @pl.when(t == 0)
-        def _():
-            for g in range(nfar):
-                far_dma(0, g).start()
-
-        @pl.when(t + 1 < nt_total)
-        def _():
-            for g in range(nfar):
-                far_dma(t + 1, g).start()
 
     @pl.when(t == 0)
     def _():
@@ -318,6 +276,9 @@ def _kernel(center, far, T, W, width, mpad, data_ref, x_ref, *rest):
     xroll[0] = xroll[1]
     xroll[1] = xroll[2]
     xroll[2] = x_ref[...]
+    for g in range(nfar):
+        fwins[g][0] = fwins[g][1]
+        fwins[g][1] = far_refs[g][...]
 
     @pl.when(t > 0)
     def _():
@@ -335,11 +296,15 @@ def _kernel(center, far, T, W, width, mpad, data_ref, x_ref, *rest):
             acc = acc + data_ref[d][None, :].astype(jnp.float32) * win.astype(
                 jnp.float32
             )
-        for g, (fl_base, members) in enumerate(far):
-            far_dma(t - 1, g).wait()
+        for g, (q, members) in enumerate(far):
+            # slots hold tiles {j+q, j+q+1} for output tile j = t-1
+            s0, s1 = fwins[g][0], fwins[g][1]
             for d, off in members:
-                rel = off - fl_base
-                win = fbuf[(t - 1) % 3, g, :, rel : rel + T]
+                rel = off - q * T  # in [0, T)
+                if rel == 0:
+                    win = s0
+                else:
+                    win = jnp.concatenate([s0[:, rel:], s1[:, :rel]], axis=1)
                 acc = acc + data_ref[d][None, :].astype(jnp.float32) * win.astype(
                     jnp.float32
                 )
@@ -360,11 +325,13 @@ def padded_spmm(
     into an XLA while-loop carry, so without aliasing XLA inserts a full
     multivector copy per call (measured: 851us vs 610us per apply at n=4.2M
     on v5e — the copy is ~40% of the wall time). Donation is SAFE only when
-    every offset >= -T: output tile j is written at grid step j+1, while X
-    tile j is read at step j and far windows for tile j+1 reach back at most
-    to tile j+1 - T/T = j; reads therefore always precede the overwrite.
-    Callers where X stays live afterwards can still pass donate=True — XLA
-    then materializes the copy itself (same cost as donate=False).
+    every offset >= -T: output tile j is written at grid step j+1, the
+    center input reads X tile j at step j, and far inputs (quotient q >= 1)
+    read tile j at step j - q < j + 1; reads therefore always precede the
+    overwrite. Offsets below -T give far groups q <= -2 whose reads of tile
+    j happen AFTER step j+1 — hence the guard. Callers where X stays live
+    afterwards can still pass donate=True — XLA then materializes the copy
+    itself (same cost as donate=False).
     """
     T, G = Ap.tile, Ap.guard
     mpad, width = Xp.shape
@@ -380,31 +347,29 @@ def padded_spmm(
             f"(min offset {min(Ap.offsets)}, tile {T}); pass donate=False"
         )
     ndiag = len(Ap.offsets)
-    center, far, span = _split_center_far(Ap.offsets, T)
-    W = _round_up(T + span + 256, 128)
+    center, far = _split_center_far(Ap.offsets, T)
     ntot = width // T
     nfar = len(far)
 
     def clamp(i):
         return jnp.minimum(jnp.maximum(i, 0), ntot - 1)
 
-    kernel = functools.partial(_kernel, center, far, T, W, width, mpad)
+    kernel = functools.partial(_kernel, center, far, T, mpad)
     n, m_log = Ap.n, mpad
     in_specs = [
         pl.BlockSpec((ndiag, T), lambda t: (0, clamp(t - 1))),
         pl.BlockSpec((mpad, T), lambda t: (0, clamp(t))),
     ]
     operands = [Ap.data, Xp]
-    scratch = [pltpu.VMEM((3, mpad, T), Xp.dtype)]
-    if nfar:
-        # far clusters DMA their windows from a whole-array view; the
-        # blocked input above only exposes one tile at a time
-        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    for q, _members in far:
+        # far groups stream X again through their own pipelined input,
+        # index-shifted by the group quotient (delivers tile t+q at step t)
+        in_specs.append(
+            pl.BlockSpec((mpad, T), lambda t, _q=q: (0, clamp(t + _q)))
+        )
         operands.append(Xp)
-        scratch += [
-            pltpu.VMEM((3, nfar, mpad, W), Xp.dtype),
-            pltpu.SemaphoreType.DMA((3, nfar)),
-        ]
+    scratch = [pltpu.VMEM((3, mpad, T), Xp.dtype)]
+    scratch += [pltpu.VMEM((2, mpad, T), Xp.dtype) for _ in range(nfar)]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((mpad, width), Xp.dtype),
@@ -414,7 +379,8 @@ def padded_spmm(
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * ndiag * n * m_log,
-            bytes_accessed=(ndiag * n + 2 * n * m_log) * Xp.dtype.itemsize,
+            bytes_accessed=(ndiag * n + (2 + nfar) * n * m_log)
+            * Xp.dtype.itemsize,
             transcendentals=0,
         ),
         input_output_aliases={1: 0} if donate else {},
