@@ -11,9 +11,12 @@ source shape. That primitive shapes the whole design:
 * rows are tiled (``Tr`` scalar columns of the transposed multivector per
   grid step) and, like nearly every FEM/graph operator after an RCM-style
   ordering, each row tile's column support fits a bounded WINDOW of X;
-* the kernel DMAs that window (per-tile start offsets are scalar-prefetched)
-  into VMEM double-buffered, then runs one lane-gather + FMA per ELL slot —
-  k gathers of (m, W) replace the reference's nnz scalar gathers;
+* the window arrives through two W-wide auto-pipelined blocked inputs
+  (index maps ``starts[t] // W`` and ``+1`` — per-tile starts are
+  scalar-prefetched) and one dynamic lane-slice; the kernel then runs one
+  lane-gather + FMA per ELL slot — k gathers of (m, W) replace the
+  reference's nnz scalar gathers. No manual cross-grid-step DMA: that
+  pattern silently corrupts on v5e (see dia_spmm.py, same finding);
 * the block variant (br, bc) keeps the SAME gather core: coefficients are
   stored as br*bc planar slabs, each (slot, u) gathers the u-th scalar
   column of the block columns, accumulates br planar outputs, and ONE final
@@ -51,9 +54,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-# max X-window width (lanes) the kernel will hold in VMEM (2 slots x m=8
-# rows x 4 B); wider supports must use the XLA fallback
+# X-window VMEM model: 2 double-buffered W-blocks per pipelined input (x2
+# inputs) + the concat/slice temporaries ~ 7 * mpad * W * 4 B. Budget
+# matches dia_spmm's empirical safe point for composed solver programs
+# (~5 MB modeled); wider supports must use the XLA fallback.
+_VMEM_BUDGET = 5 * 2**20
 _W_MAX = 64 * 1024
+
+
+def _w_cap(m: int) -> int:
+    mpad = _round_up(max(m, 8), 8)
+    return min(_W_MAX, (_VMEM_BUDGET // (7 * 4 * mpad) // 128) * 128)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -208,27 +219,29 @@ jax.tree_util.register_dataclass(
 # ---------------------------------------------------------------------------
 
 
-def _plan_windows(mincol, maxcol, n: int, Tr: int, align: int):
+def _plan_windows(mincol, maxcol, n: int, Tr: int, align: int, w_cap: int):
     """Per-tile window starts + the common width W. mincol/maxcol are
     per-tile scalar column extents (maxcol exclusive)."""
     starts = (mincol // align) * align
     W = int(_round_up(int(np.max(maxcol - starts)) if len(starts) else align, 128))
     W = max(W, _round_up(Tr, 128))
-    if W > _W_MAX:
+    if W > w_cap:
         raise ValueError(
-            f"windowed spmm: required window {W} exceeds {_W_MAX} lanes; "
-            "use the XLA fallback (operator support too scattered — "
-            "consider an RCM reordering first)"
+            f"windowed spmm: required window {W} exceeds the {w_cap}-lane "
+            "VMEM cap at this multivector width; use the XLA fallback "
+            "(operator support too scattered — consider an RCM reordering "
+            "first)"
         )
     width_needed = int(np.max(starts)) + W if len(starts) else W
     return starts.astype(np.int32), W, width_needed
 
 
 def windowed_from_ell(
-    A: ELLMatrix, tile: int = 2048, min_width: int = 0
+    A: ELLMatrix, tile: int = 2048, min_width: int = 0, m: int = 8
 ) -> WindowedELL:
     """Rearrange an ELLMatrix for the gather kernel (host-side setup).
-    ``min_width`` forces a larger padded width (operand-width matching)."""
+    ``min_width`` forces a larger padded width (operand-width matching);
+    ``m`` is the widest multivector the kernel will stream (VMEM cap)."""
     n, _ = A.shape
     k = A.k
     Tr = int(tile)
@@ -246,7 +259,7 @@ def windowed_from_ell(
         if lo < n:
             mincol[t] = row_min[lo:hi].min()
             maxcol[t] = row_max[lo:hi].max()
-    starts, W, width_needed = _plan_windows(mincol, maxcol, n, Tr, 128)
+    starts, W, width_needed = _plan_windows(mincol, maxcol, n, Tr, 128, _w_cap(m))
     n_pad = _round_up(max(n_pad, width_needed, int(min_width)), Tr)
     nt = n_pad // Tr
     starts = np.concatenate([starts, np.zeros(nt - len(starts), np.int32)])
@@ -272,7 +285,7 @@ def windowed_from_ell(
 
 
 def windowed_from_bsr(
-    A: BSRMatrix, tile: int = 2048, min_width: int = 0
+    A: BSRMatrix, tile: int = 2048, min_width: int = 0, m: int = 8
 ) -> WindowedBSR:
     """Rearrange a block-ELL matrix for the gather kernel."""
     br, bc = A.block
@@ -294,7 +307,9 @@ def windowed_from_bsr(
         if lo < nbr:
             mincol[t] = row_min[lo:hi].min()
             maxcol[t] = row_max[lo:hi].max()
-    starts, W, width_needed = _plan_windows(mincol, maxcol, n, Tr, 128 * bc)
+    starts, W, width_needed = _plan_windows(
+        mincol, maxcol, n, Tr, 128 * bc, _w_cap(m)
+    )
     # the end-of-array clamp below floors starts to 128*bc AFTER clamping,
     # which can shift a window left by up to 128*bc-1; widen W to keep the
     # right edge covered
@@ -361,14 +376,15 @@ def _lcm(a: int, b: int) -> int:
     return a * b // math.gcd(a, b)
 
 
-def make_windowed_operands(A, B=None, tile: int = 2048):
+def make_windowed_operands(A, B=None, tile: int = 2048, m: int = 8):
     """(A_int, B_int, WindowedLayout) for general-sparsity operand pairs.
 
     Accepts ELL/BSR/DIA in any combination (DIA members are converted to
     ELL on the host); both operands are padded to a COMMON width on a
     COMMON scalar tile so multivectors flow through either SpMM without
-    re-marshalling. Raises ValueError when a window would overflow VMEM
-    (callers fall back to the plain XLA formulations)."""
+    re-marshalling. ``m``: widest multivector the kernel will stream
+    (bounds the VMEM window). Raises ValueError when a window would
+    overflow VMEM (callers fall back to the plain XLA formulations)."""
     from dune_eigensolver_tpu.sparse.formats import DIAMatrix
 
     def block_rows(M):
@@ -384,9 +400,9 @@ def make_windowed_operands(A, B=None, tile: int = 2048):
         if isinstance(M, DIAMatrix):
             M = ell_from_scipy(M.to_scipy(), dtype=np.asarray(M.data).dtype)
         if isinstance(M, ELLMatrix):
-            return windowed_from_ell(M, tile=Tr, min_width=min_width)
+            return windowed_from_ell(M, tile=Tr, min_width=min_width, m=m)
         if isinstance(M, BSRMatrix):
-            return windowed_from_bsr(M, tile=Tr, min_width=min_width)
+            return windowed_from_bsr(M, tile=Tr, min_width=min_width, m=m)
         raise TypeError(f"make_windowed_operands: unsupported {type(M)}")
 
     A_int = build(A)
@@ -409,30 +425,20 @@ def make_windowed_operands(A, B=None, tile: int = 2048):
 
 def _gather_kernel(
     br, bc, k, Tr, Trb, W, mpad,
-    starts_ref, data_ref, cols_ref, xany_ref, out_ref, xwin, sems,
+    starts_ref, data_ref, cols_ref, xlo_ref, xhi_ref, out_ref,
 ):
+    # The tile's X window [starts[t], starts[t]+W) straddles at most two
+    # W-aligned blocks; both arrive through ordinary auto-pipelined blocked
+    # inputs (index maps starts[t]//W and +1) and one dynamic lane-slice
+    # extracts the window. No manual cross-grid-step DMA: on v5e hardware
+    # async copies started in one grid step and waited in the next are not
+    # reliably supported (silent corruption / backend errors — see
+    # dia_spmm.py, same finding).
     t = pl.program_id(0)
-    nt = pl.num_programs(0)
-
-    def win_dma(j):
-        start = starts_ref[jnp.minimum(j, nt - 1)]
-        start = pl.multiple_of(start, 128)
-        return pltpu.make_async_copy(
-            xany_ref.at[:, pl.ds(start, W)],
-            xwin.at[j % 2],
-            sems.at[j % 2],
-        )
-
-    @pl.when(t == 0)
-    def _():
-        win_dma(0).start()
-
-    @pl.when(t + 1 < nt)
-    def _():
-        win_dma(t + 1).start()
-
-    win_dma(t).wait()
-    win = xwin[t % 2]  # (mpad, W)
+    s = starts_ref[t]
+    off = s - (s // W) * W  # in [0, W)
+    pair = jnp.concatenate([xlo_ref[...], xhi_ref[...]], axis=1)
+    win = jax.lax.dynamic_slice(pair, (0, off), (mpad, W))  # (mpad, W)
 
     zpad = jnp.zeros((1, W - Trb), jnp.int32)
     accs = [jnp.zeros((mpad, Trb), jnp.float32) for _ in range(br)]
@@ -487,19 +493,21 @@ def windowed_spmm_t(A, Xp: jax.Array, interpret: bool = False) -> jax.Array:
     kernel = functools.partial(
         _gather_kernel, br, bc, k, Tr, Trb, W, mpad
     )
+    nbW = -(-width // W)  # W-aligned block count (last may be partial)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((coeffs.shape[0], Trb), lambda t, s: (0, t)),
             pl.BlockSpec((k, Trb), lambda t, s: (0, t)),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((mpad, W), lambda t, s: (0, s[t] // W)),
+            pl.BlockSpec(
+                (mpad, W),
+                lambda t, s: (0, jnp.minimum(s[t] // W + 1, nbW - 1)),
+            ),
         ],
         out_specs=pl.BlockSpec((mpad, Tr), lambda t, s: (0, t)),
-        scratch_shapes=[
-            pltpu.VMEM((2, mpad, W), Xp.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
     )
     flops = 2 * A.nnz * mpad
     return pl.pallas_call(
@@ -509,9 +517,9 @@ def windowed_spmm_t(A, Xp: jax.Array, interpret: bool = False) -> jax.Array:
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(
-                coeffs.size + cols.size + 2 * mpad * width
+                coeffs.size + cols.size + 3 * mpad * width
             ) * Xp.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(A.starts, coeffs, cols, Xp)
+    )(A.starts, coeffs, cols, Xp, Xp)

@@ -143,7 +143,7 @@ def make_engine(
             )
 
             try:
-                A_int, B_int, L = make_windowed_operands(A_sh, B)
+                A_int, B_int, L = make_windowed_operands(A_sh, B, m=m)
                 return A_int, B_int, L, EngineSpec(0, L.n, L.width)
             except ValueError:
                 pass  # window overflow: XLA fallback below
