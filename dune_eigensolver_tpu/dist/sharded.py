@@ -9,18 +9,32 @@ threads). TPU-natively:
 * the matrix (DIA) and multivector rows are sharded over a 1D mesh axis;
   every shard holds the TRANSPOSED local block (m, nloc) — matrix rows on
   the lane dimension, the same layout the single-chip Pallas kernel streams;
+* the hot-loop SpMM runs the SAME Pallas rolling-cache kernel as the
+  single-chip engine on a PER-SHARD guarded layout (``padded_spmm_halo``):
+  the interior sweep is ``kernels.dia_spmm.padded_spmm`` on the local block
+  and only the O(halo) edge lanes consume the ``lax.ppermute`` halo slabs —
+  the TPU analogue of the reference dispatching its fastest backend at every
+  kernel call site (eigensolver.hh:261-310). The round-2 XLA slice
+  formulation is kept as ``spmm='xla'`` for A/B comparison and as the
+  CPU-mesh default (Pallas on CPU means interpret mode);
 * SpMM needs off-shard X rows up to the bandwidth: neighbors exchange halo
   slabs via ``lax.ppermute`` (non-cyclic, so edge shards receive zeros —
-  exactly the Dirichlet zero-padding the local kernel expects), overlapping
-  with the local diagonal contributions;
+  exactly the Dirichlet zero-padding the local kernel expects), with the
+  interior sweep independent of the collective (overlap-friendly);
 * every Gram matrix / dot product / convergence reduction becomes one
   ``lax.psum`` (the ``gram_reduce`` hook threaded through ops/ and solvers/);
 * the entire solver while-loop runs inside one ``shard_map``, so an N-chip
-  solve is a single XLA computation with ICI collectives.
+  solve is a single XLA computation with ICI collectives;
+* row counts that do not divide the mesh size are padded with decoupled
+  identity rows (unit diagonal, zero coupling, zero start vector — the pad
+  lanes stay EXACTLY zero through every linear operation, so the spectrum
+  is untouched); the reference accepts any n (BCRS is unconstrained), and
+  so do these drivers.
 """
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Optional
 
@@ -31,7 +45,20 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dune_eigensolver_tpu.dist.mesh import ROW_AXIS, make_mesh
+from dune_eigensolver_tpu.kernels.dia_spmm import (
+    PaddedDIA,
+    PaddedLayout,
+    padded_spmm,
+    pick_shard_tile,
+)
 from dune_eigensolver_tpu.sparse.formats import DIAMatrix
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def halo_exchange_t(x_local: jax.Array, halo: int, axis: str = ROW_AXIS):
@@ -58,8 +85,8 @@ def dia_spmm_halo_t(
     x_local: jax.Array,
     axis: str = ROW_AXIS,
 ) -> jax.Array:
-    """Local rows of ``(A @ X)^T`` for a row-sharded DIA matrix, structured
-    for communication/compute overlap. Transposed layout throughout.
+    """Local rows of ``(A @ X)^T`` for a row-sharded DIA matrix — the XLA
+    slice formulation (``spmm='xla'``). Transposed layout throughout.
 
     data_local: (ndiag, nloc) — this shard's rows of every diagonal.
     x_local: (m, nloc). Requires halo = max|offset| <= nloc.
@@ -108,6 +135,58 @@ def dia_spmm_halo_t(
     return acc
 
 
+def padded_spmm_halo(
+    Ap: PaddedDIA,
+    Xp: jax.Array,
+    axis: str = ROW_AXIS,
+    interpret: bool = False,
+    donate: bool = False,
+) -> jax.Array:
+    """Local rows of ``(A @ X)^T`` with the interior sweep on the Pallas
+    rolling-cache kernel — the ``spmm='padded'`` hot path.
+
+    ``Ap`` is the shard's LOCAL block pre-padded into a per-shard guarded
+    ``PaddedLayout`` (logical rows [G, G + nloc)); ``Xp`` is the guarded
+    local multivector (mpad, width) with zero guards. The kernel computes
+    the full local contribution reading zeros beyond the local block
+    (BENCH_r02: 3.8x faster than the XLA slice formulation single-chip);
+    the ppermute halo slabs feed only the O(halo) edge-correction lanes,
+    which are the only values waiting on the collective.
+    """
+    G, nloc = Ap.guard, Ap.n
+    offsets = Ap.offsets
+    halo = max((abs(o) for o in offsets), default=0)
+    if halo > nloc:
+        raise ValueError(
+            f"padded_spmm_halo: bandwidth {halo} exceeds local rows {nloc}; "
+            "use fewer shards or a wider partition"
+        )
+    mpad = Xp.shape[0]
+    ndev = lax.axis_size(axis)
+    if ndev > 1 and halo > 0:
+        fwd = [(i, i + 1) for i in range(ndev - 1)]
+        bwd = [(i + 1, i) for i in range(ndev - 1)]
+        from_left = lax.ppermute(
+            lax.slice(Xp, (0, G + nloc - halo), (mpad, G + nloc)), axis, fwd
+        )
+        from_right = lax.ppermute(
+            lax.slice(Xp, (0, G), (mpad, G + halo)), axis, bwd
+        )
+    Y = padded_spmm(Ap, Xp, donate=donate, interpret=interpret)
+    if ndev > 1 and halo > 0:
+        for d, off in enumerate(offsets):
+            if off < 0:
+                Y = Y.at[:, G : G - off].add(
+                    Ap.data[d][None, G : G - off] * from_left[:, halo + off :]
+                )
+            elif off > 0:
+                Y = Y.at[:, G + nloc - off : G + nloc].add(
+                    Ap.data[d][None, G + nloc - off : G + nloc]
+                    * from_right[:, :off]
+                )
+    return Y
+
+
 def halo_exchange(x_local: jax.Array, halo: int, axis: str = ROW_AXIS):
     """Column-layout wrapper over ``halo_exchange_t`` (x_local (nloc, m))."""
     return halo_exchange_t(x_local.T, halo, axis).T
@@ -140,6 +219,71 @@ def local_diag_block(data_local: jax.Array, offsets: tuple) -> jax.Array:
     return jnp.stack(out)
 
 
+class _ShardEngine:
+    """Per-shard internal layout + SpMM dispatch for the sharded drivers.
+
+    mode 'padded': a per-shard guarded ``PaddedLayout`` (tile from
+    ``pick_shard_tile`` so the zero-guard tiles stay a small fraction of the
+    local rows); the hot loop iterates guarded multivectors and every SpMM
+    is ``padded_spmm_halo``. mode 'xla': the round-2 plain-layout slice
+    formulation (``dia_spmm_halo_t``). Built INSIDE shard_map from the
+    traced local blocks; all geometry is static.
+    """
+
+    def __init__(self, datas, offsets_list, m_max: int, axis: str, mode: str):
+        if mode not in ("padded", "xla"):
+            raise ValueError(f"unknown spmm mode {mode!r} (padded|xla)")
+        self.axis = axis
+        self.mode = mode
+        self.nloc = datas[0].shape[1]
+        self.datas = list(datas)
+        self.offsets_list = [tuple(o) for o in offsets_list]
+        if mode == "padded":
+            union = tuple(sorted(set().union(*map(set, self.offsets_list))))
+            tile = pick_shard_tile(self.nloc, m_max, union)
+            self.layout = PaddedLayout(self.nloc, m_max, union, tile=tile)
+            self.interpret = not _on_tpu()
+            self.ops = [
+                self.layout.pad_operator(
+                    DIAMatrix(data=d, offsets=o, shape=(self.nloc, self.nloc))
+                )
+                for d, o in zip(self.datas, self.offsets_list)
+            ]
+        else:
+            self.layout = None
+            self.interpret = False
+            self.ops = list(zip(self.datas, self.offsets_list))
+
+    @property
+    def a_int(self):
+        """Operand handed to the solver cores: derives the internal
+        EngineSpec (``_spec_of``) so results unpad correctly; the SpMM
+        itself always goes through the hooks."""
+        return self.ops[0] if self.mode == "padded" else None
+
+    def apply(self, i: int):
+        """Transposed-layout SpMM hook for operand i."""
+        if self.mode == "padded":
+            return partial(
+                padded_spmm_halo,
+                self.ops[i],
+                axis=self.axis,
+                interpret=self.interpret,
+            )
+        return partial(
+            dia_spmm_halo_t, self.datas[i], self.offsets_list[i], axis=self.axis
+        )
+
+    def pad_q0(self, q0: jax.Array) -> jax.Array:
+        return q0 if self.layout is None else self.layout.pad(q0)
+
+    def inv_diag(self, i: int) -> jax.Array:
+        """Guard-safe reciprocal diagonal of operand i (Jacobi)."""
+        if self.mode == "padded":
+            return 1.0 / self.ops[i].padded_diagonal(fill=1.0)
+        return 1.0 / self.datas[i][self.offsets_list[i].index(0)]
+
+
 def schwarz_inverse_t(
     data_local: jax.Array,
     offsets: tuple,
@@ -148,6 +292,7 @@ def schwarz_inverse_t(
     rtol: float = 1e-6,
     maxiter: int = 200,
     C: int = 256,
+    layout: Optional[PaddedLayout] = None,
 ):
     """Additive-Schwarz (non-overlapping block-Jacobi) inverse for the
     sharded solvers: each shard factorizes ITS diagonal band block with the
@@ -162,7 +307,10 @@ def schwarz_inverse_t(
     local MXU work instead of extra global reduction rounds.
 
     Built INSIDE shard_map: the factorization itself is jitted device code,
-    so it fuses into the same XLA computation as the solve. Returns a
+    so it fuses into the same XLA computation as the solve. ``layout``: when
+    the solve runs on the guarded internal layout, residuals are unpadded
+    for the banded block solve and re-guarded after (the O(1)-copy bridge;
+    the CG SpMMs themselves stay on the Pallas kernel). Returns a
     transposed-layout solve callable (marked ``layout_t``).
     """
     from dune_eigensolver_tpu.factorize.banded import (
@@ -176,8 +324,18 @@ def schwarz_inverse_t(
     A_blk = DIAMatrix(data=blk, offsets=offsets, shape=(nloc, nloc))
     F = factorize_banded_device(A_blk, C=C)
 
-    def precond(R):  # (m, nloc) -> (m, nloc), exact local block solve
-        return banded_solve(F, R.T).T
+    if layout is None:
+
+        def precond(R):  # (m, nloc) -> (m, nloc), exact local block solve
+            return banded_solve(F, R.T).T
+
+    else:
+        G, n_, width = layout.G, layout.n, layout.width
+
+        def precond(R):  # guarded (m, width): unpad -> block solve -> guard
+            R_log = lax.slice(R, (0, G), (R.shape[0], G + n_))
+            Y = banded_solve(F, R_log.T).T
+            return jnp.pad(Y, ((0, 0), (G, width - G - n_)))
 
     def solve(X):
         Y, _ = cg_solve_t(
@@ -199,18 +357,60 @@ def _shard_dia(A: DIAMatrix, mesh: Mesh, axis: str) -> DIAMatrix:
     return DIAMatrix(data=data, offsets=A.offsets, shape=A.shape)
 
 
-def _check_divisible(n: int, mesh: Mesh):
+def _pad_rows_dia(A: DIAMatrix, n_pad: int, diag_fill: float) -> DIAMatrix:
+    """Extend an n x n DIA matrix to n_pad x n_pad with DECOUPLED pad rows:
+    ``diag_fill`` on the main diagonal, zero everywhere else. Coefficients of
+    real rows never reference pad columns (DIA data is zero where the column
+    index falls outside the logical matrix), so with a zero start vector the
+    pad lanes stay exactly zero through every linear solver operation and
+    the spectrum of the original problem is untouched."""
+    n = A.shape[0]
+    if n_pad == n:
+        return A
+    data = jnp.pad(A.data, ((0, 0), (0, n_pad - n)))
+    if diag_fill != 0.0:
+        if 0 not in A.offsets:
+            raise ValueError(
+                "_pad_rows_dia: operator has no main diagonal to carry the "
+                "pad-row identity; cannot pad to the mesh size"
+            )
+        d0 = A.offsets.index(0)
+        i = jnp.arange(n_pad)
+        data = data.at[d0].set(
+            jnp.where(i >= n, jnp.asarray(diag_fill, data.dtype), data[d0])
+        )
+    return DIAMatrix(data=data, offsets=A.offsets, shape=(n_pad, n_pad))
+
+
+def _padded_rows(n: int, mesh: Mesh) -> int:
     ndev = mesh.devices.size
-    if n % ndev != 0:
-        raise ValueError(f"row count {n} not divisible by mesh size {ndev}")
+    return -(-n // ndev) * ndev
 
 
-def _random_q0_t(seed, n, m, mesh, axis, dtype):
-    """Transposed start block sharded over lanes: (m, n) with rows split."""
+def _slice_result(res, n: int):
+    """Drop the pad rows from the globally-assembled eigenvectors."""
+    if res.eigenvectors.shape[0] == n:
+        return res
+    return dataclasses.replace(res, eigenvectors=res.eigenvectors[:n])
+
+
+def _random_q0_t(seed, n, n_pad, m, mesh, axis, dtype):
+    """Transposed start block sharded over lanes: (m, n_pad) with rows
+    split; pad lanes are EXACTLY zero (the decoupled-pad-row invariant)."""
     from dune_eigensolver_tpu.solvers.standard import random_multivector_t
 
     Q0 = random_multivector_t(jax.random.PRNGKey(seed), n, m, dtype)
+    if n_pad != n:
+        Q0 = jnp.pad(Q0, ((0, 0), (0, n_pad - n)))
     return jax.device_put(Q0, NamedSharding(mesh, P(None, axis)))
+
+
+def _pick_spmm(spmm: Optional[str]) -> str:
+    """'padded' (Pallas hot loop) on TPU, 'xla' on the CPU mesh (where
+    Pallas means interpret mode), unless the caller forces a mode."""
+    if spmm is None:
+        return "padded" if _on_tpu() else "xla"
+    return spmm
 
 
 def sharded_standard_largest(
@@ -223,38 +423,47 @@ def sharded_standard_largest(
     block: int = 8,
     seed: int = 123,
     ortho_iterations: int = 1,
+    rayleigh_ritz: bool = False,
     axis: str = ROW_AXIS,
+    spmm: Optional[str] = None,
 ):
-    """Multi-chip standard_largest: same semantics, rows sharded over mesh."""
+    """Multi-chip standard_largest: same semantics, rows sharded over mesh.
+
+    ``spmm``: 'padded' runs the hot loop on the per-shard guarded Pallas
+    kernel (TPU default); 'xla' is the slice formulation (CPU-mesh default);
+    None auto-selects.
+    """
     from dune_eigensolver_tpu.solvers.standard import (
+        _largest_core,
         padded_width,
-        standard_largest,
     )
 
     mesh = mesh or make_mesh(axis=axis)
+    mode = _pick_spmm(spmm)
     n = A.shape[0]
-    _check_divisible(n, mesh)
+    n_pad = _padded_rows(n, mesh)
     A_sh = A.with_shifted_diagonal(shift) if shift != 0.0 else A
+    A_sh = _pad_rows_dia(A_sh, n_pad, 1.0)
     A_sh = _shard_dia(A_sh, mesh, axis)
     m = padded_width(nev, block)
-    Q0 = _random_q0_t(seed, n, m, mesh, axis, A.dtype)
+    Q0 = _random_q0_t(seed, n, n_pad, m, mesh, axis, A.dtype)
+    reduce_ = psum_reduce(axis)
 
     def local_solver(adata, q0):
-        apply_a = partial(dia_spmm_halo_t, adata, A.offsets, axis=axis)
-        res = standard_largest(
-            _LocalOperand(adata, A.offsets, A.shape, q0.dtype),
+        eng = _ShardEngine([adata], [A.offsets], m, axis, mode)
+        cfg = (
             nev,
-            tol,
-            maxiter,
-            shift=shift,
-            block=block,
-            seed=seed,
-            ortho_iterations=ortho_iterations,
-            apply_a=apply_a,
-            gram_reduce=psum_reduce(axis),
-            q0=q0,
+            float(tol),
+            int(maxiter),
+            float(shift),
+            int(block),
+            int(ortho_iterations),
+            bool(rayleigh_ritz),
+            int(n_pad),
+            jnp.dtype(A.dtype),
         )
-        return res
+        hooks = (eng.apply(0), reduce_)
+        return _largest_core(eng.a_int, eng.pad_q0(q0), hooks, cfg)
 
     fn = jax.jit(
         jax.shard_map(
@@ -262,9 +471,10 @@ def sharded_standard_largest(
             mesh=mesh,
             in_specs=(P(None, axis), P(None, axis)),
             out_specs=_result_specs(axis),
+            check_vma=False,
         )
     )
-    return fn(A_sh.data, Q0)
+    return _slice_result(fn(A_sh.data, Q0), n)
 
 
 def sharded_standard_inverse(
@@ -281,6 +491,7 @@ def sharded_standard_inverse(
     cg_maxiter: int = 2000,
     axis: str = ROW_AXIS,
     inner: str = "schwarz",
+    spmm: Optional[str] = None,
 ):
     """Multi-chip standard_inverse: smallest eigenpairs via shift-invert.
 
@@ -294,35 +505,38 @@ def sharded_standard_inverse(
     from dune_eigensolver_tpu.solvers.standard import padded_width
 
     mesh = mesh or make_mesh(axis=axis)
+    mode = _pick_spmm(spmm)
     n = A.shape[0]
-    _check_divisible(n, mesh)
-    inner = _pick_inner(inner, A, n // mesh.devices.size)
+    n_pad = _padded_rows(n, mesh)
+    inner = _pick_inner(inner, A, n_pad // mesh.devices.size)
     A_sh = A.with_shifted_diagonal(shift) if shift != 0.0 else A
+    A_sh = _pad_rows_dia(A_sh, n_pad, 1.0)
     A_shd = _shard_dia(A_sh, mesh, axis)
     m = padded_width(nev, block)
-    Q0 = _random_q0_t(seed, n, m, mesh, axis, A.dtype)
+    Q0 = _random_q0_t(seed, n, n_pad, m, mesh, axis, A.dtype)
     reduce_ = psum_reduce(axis)
 
     def local_solver(adata, q0):
-        apply_a = partial(dia_spmm_halo_t, adata, A.offsets, axis=axis)
-        inv_diag_local = 1.0 / adata[A.offsets.index(0)]
+        eng = _ShardEngine([adata], [A.offsets], m, axis, mode)
+        apply_a = eng.apply(0)
 
         if inner == "schwarz":
             solve = schwarz_inverse_t(
                 adata, A.offsets, apply_a, reduce_,
-                rtol=cg_rtol, maxiter=cg_maxiter,
+                rtol=cg_rtol, maxiter=cg_maxiter, layout=eng.layout,
             )
 
             def inv_fn(_aux, X):
                 return solve(X)
 
         else:
+            inv_diag = eng.inv_diag(0)
 
             def inv_fn(_aux, X):
                 Y, _ = cg_solve_t(
                     apply_a,
                     X,
-                    inv_diag=inv_diag_local,
+                    inv_diag=inv_diag,
                     rtol=cg_rtol,
                     maxiter=cg_maxiter,
                     gram_reduce=reduce_,
@@ -338,7 +552,9 @@ def sharded_standard_inverse(
             int(ortho_iterations),
             jnp.dtype(A.dtype),
         )
-        return _sharded_inverse_core(apply_a, inv_fn, q0, reduce_, cfg)
+        return _sharded_inverse_core(
+            eng.a_int, apply_a, inv_fn, eng.pad_q0(q0), reduce_, cfg
+        )
 
     fn = jax.jit(
         jax.shard_map(
@@ -346,26 +562,31 @@ def sharded_standard_inverse(
             mesh=mesh,
             in_specs=(P(None, axis), P(None, axis)),
             out_specs=_result_specs(axis),
+            check_vma=False,
         )
     )
-    return fn(A_shd.data, Q0)
+    return _slice_result(fn(A_shd.data, Q0), n)
 
 
-def _sharded_inverse_core(apply_a, inv_fn, Q0, gram_reduce, cfg):
+def _sharded_inverse_core(A_int, apply_a, inv_fn, Q0, gram_reduce, cfg):
     """standard_inverse iteration with a caller-supplied operator
     application for the Rayleigh quotients (row-sharded SpMM needs the halo
-    exchange, not a local-slice spmm). Transposed layout."""
+    exchange, not a local-slice spmm). Transposed (possibly guarded)
+    layout; ``A_int`` only derives the internal spec for unpadding."""
     from functools import partial as _partial
 
     from dune_eigensolver_tpu.ops.ortho import (
         dot_products_diagonal_t,
         orthonormalize_blocked_t,
     )
+    from dune_eigensolver_tpu.solvers.engine import from_internal_vectors
     from dune_eigensolver_tpu.solvers.result import EigenResult, sort_result_t
+    from dune_eigensolver_tpu.solvers.standard import _spec_of
 
     nev, tol, maxiter, shift, block, ortho_iterations, dtype = cfg
     shift_ = jnp.asarray(shift, dtype)
     m = Q0.shape[0]
+    spec = _spec_of(A_int)
     ortho = _partial(
         orthonormalize_blocked_t,
         block=block,
@@ -393,7 +614,7 @@ def _sharded_inverse_core(apply_a, inv_fn, Q0, gram_reduce, cfg):
     evals, evecs_t = sort_result_t(s, Q, nev, descending=False)
     return EigenResult(
         eigenvalues=evals,
-        eigenvectors=evecs_t.T,
+        eigenvectors=from_internal_vectors(evecs_t, spec, Q.shape[1]),
         iterations=k,
         converged=distance < tol,
         criterion=distance,
@@ -414,10 +635,12 @@ def sharded_generalized_inverse(
     seed: int = 123,
     min_iter: int = 10,
     ortho_iterations: int = 1,
+    rayleigh_ritz: bool = False,
     cg_rtol: float = 1e-6,
     cg_maxiter: int = 2000,
     axis: str = ROW_AXIS,
     inner: str = "schwarz",
+    spmm: Optional[str] = None,
 ):
     """Multi-chip generalized_inverse.
 
@@ -425,73 +648,77 @@ def sharded_generalized_inverse(
     per-shard banded block solves of the shifted operator (additive
     Schwarz, ``schwarz_inverse_t``) — the distributed stand-in for the
     reference's global direct factorization. ``inner='cg'``: plain
-    Jacobi-CG (round-1 behavior)."""
+    Jacobi-CG (round-1 behavior). ``spmm='padded'`` (TPU default) runs
+    every SpMM — outer AND inner-CG — on the per-shard Pallas kernel."""
     from dune_eigensolver_tpu.factorize.cg import cg_solve_t
-    from dune_eigensolver_tpu.solvers.generalized import generalized_inverse
+    from dune_eigensolver_tpu.solvers.generalized import _gen_core
     from dune_eigensolver_tpu.solvers.standard import padded_width
 
     mesh = mesh or make_mesh(axis=axis)
+    mode = _pick_spmm(spmm)
     n = A.shape[0]
-    _check_divisible(n, mesh)
-    inner = _pick_inner(inner, A, n // mesh.devices.size)
+    n_pad = _padded_rows(n, mesh)
+    inner = _pick_inner(inner, A, n_pad // mesh.devices.size)
 
     A_op = A
     if shift != 0.0:
         A_op = A_op.axpy(shift, B)
     if reg != 0.0:
         A_op = A_op.with_shifted_diagonal(reg)
+    A_op = _pad_rows_dia(A_op, n_pad, 1.0)
+    B_p = _pad_rows_dia(B, n_pad, 0.0)
     A_op = _shard_dia(A_op, mesh, axis)
-    B_sh = _shard_dia(B, mesh, axis)
+    B_sh = _shard_dia(B_p, mesh, axis)
     m = padded_width(nev, block)
-    Q0 = _random_q0_t(seed, n, m, mesh, axis, A.dtype)
+    Q0 = _random_q0_t(seed, n, n_pad, m, mesh, axis, A.dtype)
 
     reduce_ = psum_reduce(axis)
 
     def local_solver(adata, bdata, q0):
-        apply_a = partial(dia_spmm_halo_t, adata, A.offsets, axis=axis)
-        apply_b = partial(dia_spmm_halo_t, bdata, B.offsets, axis=axis)
-        inv_diag_local = 1.0 / adata[A.offsets.index(0)]
+        eng = _ShardEngine(
+            [adata, bdata], [A.offsets, B.offsets], m, axis, mode
+        )
+        apply_a = eng.apply(0)
+        apply_b = eng.apply(1)
 
-        def inverse(_unused):
-            if inner == "schwarz":
-                return schwarz_inverse_t(
-                    adata, A.offsets, apply_a, reduce_,
-                    rtol=cg_rtol, maxiter=cg_maxiter,
-                )
+        if inner == "schwarz":
+            solve = schwarz_inverse_t(
+                adata, A.offsets, apply_a, reduce_,
+                rtol=cg_rtol, maxiter=cg_maxiter, layout=eng.layout,
+            )
 
-            def solve(X):
+            def inv_fn(_aux, X):
+                return solve(X)
+
+        else:
+            inv_diag = eng.inv_diag(0)
+
+            def inv_fn(_aux, X):
                 Y, _ = cg_solve_t(
                     apply_a,
                     X,
-                    inv_diag=inv_diag_local,
+                    inv_diag=inv_diag,
                     rtol=cg_rtol,
                     maxiter=cg_maxiter,
                     gram_reduce=reduce_,
                 )
                 return Y
 
-            solve.layout_t = True
-            return solve
-
-        return generalized_inverse(
-            _LocalOperand(adata, A.offsets, A.shape, q0.dtype),
-            _LocalOperand(bdata, B.offsets, B.shape, q0.dtype),
+        cfg = (
             nev,
-            tol,
-            maxiter,
-            shift=0.0,  # shift/reg already folded into adata above
-            reg=0.0,
-            block=block,
-            seed=seed,
-            min_iter=min_iter,
-            ortho_iterations=ortho_iterations,
-            inverse=inverse,
-            apply_a=apply_a,
-            apply_b=apply_b,
-            gram_reduce=reduce_,
-            q0=q0,
-            eval_shift=shift,
+            float(tol),
+            int(maxiter),
+            float(shift),  # eval shift: shift/reg pre-folded into adata
+            int(block),
+            int(min_iter),
+            int(ortho_iterations),
+            bool(rayleigh_ritz),
+            int(n_pad),
+            jnp.dtype(A.dtype),
         )
+        hooks = (apply_a, apply_b, reduce_, inv_fn)
+        B_int = eng.ops[1] if mode == "padded" else None
+        return _gen_core(eng.a_int, B_int, None, eng.pad_q0(q0), hooks, cfg)
 
     fn = jax.jit(
         jax.shard_map(
@@ -499,9 +726,10 @@ def sharded_generalized_inverse(
             mesh=mesh,
             in_specs=(P(None, axis), P(None, axis), P(None, axis)),
             out_specs=_result_specs(axis),
+            check_vma=False,
         )
     )
-    return fn(A_op.data, B_sh.data, Q0)
+    return _slice_result(fn(A_op.data, B_sh.data, Q0), n)
 
 
 def sharded_lobpcg_generalized(
@@ -516,9 +744,11 @@ def sharded_lobpcg_generalized(
     block: int = 8,
     seed: int = 123,
     min_iter: int = 3,
+    ortho_eps: float = 1e-9,
     cg_rtol: float = 1e-2,
     cg_maxiter: int = 100,
     axis: str = ROW_AXIS,
+    spmm: Optional[str] = None,
 ):
     """Multi-chip LOBPCG on the reciprocal pencil (solvers/lobpcg.py).
 
@@ -526,65 +756,66 @@ def sharded_lobpcg_generalized(
     (rtol defaults to 1e-2 — LOBPCG only needs an approximate inverse, so
     the inner Krylov runs an order of magnitude shorter than the sharded
     shift-invert solvers' inner solve). All Gram reductions psum over the
-    row axis; SpMMs halo-exchange over ICI.
+    row axis; SpMMs halo-exchange over ICI and run the per-shard Pallas
+    kernel under ``spmm='padded'`` (TPU default).
     """
     from dune_eigensolver_tpu.factorize.cg import cg_solve_t
-    from dune_eigensolver_tpu.solvers.lobpcg import lobpcg_generalized
+    from dune_eigensolver_tpu.solvers.lobpcg import _lobpcg_core
     from dune_eigensolver_tpu.solvers.standard import padded_width
 
     mesh = mesh or make_mesh(axis=axis)
+    mode = _pick_spmm(spmm)
     n = A.shape[0]
-    _check_divisible(n, mesh)
+    n_pad = _padded_rows(n, mesh)
 
     A_op = A
     if shift != 0.0:
         A_op = A_op.axpy(shift, B)
     if reg != 0.0:
         A_op = A_op.with_shifted_diagonal(reg)
+    A_op = _pad_rows_dia(A_op, n_pad, 1.0)
+    B_p = _pad_rows_dia(B, n_pad, 0.0)
     A_op = _shard_dia(A_op, mesh, axis)
-    B_sh = _shard_dia(B, mesh, axis)
+    B_sh = _shard_dia(B_p, mesh, axis)
     m = padded_width(nev, block)
-    Q0 = _random_q0_t(seed, n, m, mesh, axis, A.dtype)
+    Q0 = _random_q0_t(seed, n, n_pad, m, mesh, axis, A.dtype)
     reduce_ = psum_reduce(axis)
 
     def local_solver(adata, bdata, q0):
-        apply_a = partial(dia_spmm_halo_t, adata, A.offsets, axis=axis)
-        apply_b = partial(dia_spmm_halo_t, bdata, B.offsets, axis=axis)
-        inv_diag_local = 1.0 / adata[A.offsets.index(0)]
-
-        def precond(_unused):
-            def solve(X):
-                Y, _ = cg_solve_t(
-                    apply_a,
-                    X,
-                    inv_diag=inv_diag_local,
-                    rtol=cg_rtol,
-                    maxiter=cg_maxiter,
-                    gram_reduce=reduce_,
-                )
-                return Y
-
-            solve.layout_t = True
-            return solve
-
-        return lobpcg_generalized(
-            _LocalOperand(adata, A.offsets, A.shape, q0.dtype),
-            _LocalOperand(bdata, B.offsets, B.shape, q0.dtype),
-            nev,
-            tol,
-            maxiter,
-            shift=0.0,  # shift/reg already folded into adata above
-            reg=0.0,
-            block=block,
-            seed=seed,
-            min_iter=min_iter,
-            precond=precond,
-            apply_a=apply_a,
-            apply_b=apply_b,
-            gram_reduce=reduce_,
-            q0=q0,
-            eval_shift=shift,
+        # the LOBPCG search block is (3m, n*): size the layout's VMEM
+        # budget for it
+        eng = _ShardEngine(
+            [adata, bdata], [A.offsets, B.offsets], 3 * m, axis, mode
         )
+        apply_a = eng.apply(0)
+        apply_b = eng.apply(1)
+        inv_diag = eng.inv_diag(0)
+
+        def prec_fn(_aux, X):
+            Y, _ = cg_solve_t(
+                apply_a,
+                X,
+                inv_diag=inv_diag,
+                rtol=cg_rtol,
+                maxiter=cg_maxiter,
+                gram_reduce=reduce_,
+            )
+            return Y
+
+        cfg = (
+            nev,
+            float(tol),
+            int(maxiter),
+            float(shift),  # eval shift: shift/reg pre-folded into adata
+            int(block),
+            int(min_iter),
+            float(ortho_eps),
+            int(n_pad),
+            jnp.dtype(A.dtype),
+        )
+        hooks = (apply_a, apply_b, reduce_, prec_fn)
+        B_int = eng.ops[1] if mode == "padded" else None
+        return _lobpcg_core(eng.a_int, B_int, None, eng.pad_q0(q0), hooks, cfg)
 
     fn = jax.jit(
         jax.shard_map(
@@ -592,9 +823,10 @@ def sharded_lobpcg_generalized(
             mesh=mesh,
             in_specs=(P(None, axis), P(None, axis), P(None, axis)),
             out_specs=_result_specs(axis),
+            check_vma=False,
         )
     )
-    return fn(A_op.data, B_sh.data, Q0)
+    return _slice_result(fn(A_op.data, B_sh.data, Q0), n)
 
 
 def _pick_inner(inner: str, A, nloc: int) -> str:
@@ -610,20 +842,6 @@ def _pick_inner(inner: str, A, nloc: int) -> str:
         if bw > min(nloc, _DEVICE_BW_MAX):
             return "cg"
     return inner
-
-
-class _LocalOperand:
-    """Minimal duck-typed operand for solver internals that only need
-    .shape/.dtype when apply_a/apply_b/q0 are all supplied."""
-
-    def __init__(self, data, offsets, shape, dtype):
-        self._data = data
-        self.offsets = offsets
-        self.shape = shape
-        self.dtype = dtype
-
-    def diagonal(self):
-        return self._data[self.offsets.index(0)]
 
 
 def _result_specs(axis: str):

@@ -229,6 +229,38 @@ def _pick_tile(n: int, m: int, offsets, budget: int = 10 * 2**20) -> int:
     return 128
 
 
+def pick_shard_tile(
+    nloc: int, m: int, offsets, budget: int = 10 * 2**20,
+    max_guard_frac: float = 0.25,
+) -> int:
+    """Tile for PER-SHARD guarded layouts (dist/sharded.py).
+
+    Same VMEM model as ``_pick_tile``, plus a guard-overhead bound: the
+    kernel streams the zero-guard tiles too (G >= halo + 2T per side), and a
+    shard's local row count is ndev-times smaller than the global problem,
+    so the single-chip tile choice can waste a large fraction of the local
+    bandwidth on guards. Pick the largest tile whose total guard width stays
+    under ``max_guard_frac`` of the local rows; tiny shards fall back to the
+    minimum tile (tests / dryruns)."""
+    mpad = _round_up(max(m, 8), 8)
+    halo = max((abs(o) for o in offsets), default=0)
+    ndiag = max(len(offsets), 1)
+    for T in (32768, 16384, 8192, 4096, 2048, 1024, 512, 256, 128):
+        center, far = _split_center_far(offsets, T)
+        nfar = len(far)
+        use = (
+            3 * mpad * T
+            + 2 * nfar * mpad * T
+            + 2 * (ndiag + (2 + nfar) * mpad) * T
+        ) * 4
+        if use > (budget if nfar == 0 else budget // 2):
+            continue
+        G = _round_up(halo + 256, T) + 2 * T
+        if 2 * G <= max_guard_frac * nloc or T == 128:
+            return T
+    return 128
+
+
 def _split_center_far(offsets, T):
     """Center = offsets servable from the rolling {prev, cur, next} tile
     cache (|off| <= T); far = the rest, grouped by tile quotient

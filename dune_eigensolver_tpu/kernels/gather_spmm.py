@@ -425,8 +425,11 @@ def make_windowed_operands(A, B=None, tile: int = 2048, m: int = 8):
 
 def _gather_kernel(
     br, bc, k, Tr, Trb, W, mpad,
-    starts_ref, data_ref, cols_ref, xlo_ref, xhi_ref, out_ref,
+    starts_ref, data_ref, cols_ref, xlo_ref, xhi_ref, *rest,
 ):
+    # rest = (dead_ref?, out_ref): dead_ref is the donated output buffer
+    # passed as a dummy input (see windowed_spmm_t out_buf) — never read.
+    out_ref = rest[-1]
     # The tile's X window [starts[t], starts[t]+W) straddles at most two
     # W-aligned blocks; both arrive through ordinary auto-pipelined blocked
     # inputs (index maps starts[t]//W and +1) and one dynamic lane-slice
@@ -438,7 +441,11 @@ def _gather_kernel(
     s = starts_ref[t]
     off = s - (s // W) * W  # in [0, W)
     pair = jnp.concatenate([xlo_ref[...], xhi_ref[...]], axis=1)
-    win = jax.lax.dynamic_slice(pair, (0, off), (mpad, W))  # (mpad, W)
+    # start indices must share off's dtype: a Python-int 0 promotes to int64
+    # under x64 and dynamic_slice rejects mixed index dtypes at trace time
+    win = jax.lax.dynamic_slice(
+        pair, (jnp.zeros((), off.dtype), off), (mpad, W)
+    )  # (mpad, W)
 
     zpad = jnp.zeros((1, W - Trb), jnp.int32)
     accs = [jnp.zeros((mpad, Trb), jnp.float32) for _ in range(br)]
@@ -464,10 +471,25 @@ def _gather_kernel(
         )
 
 
-def windowed_spmm_t(A, Xp: jax.Array, interpret: bool = False) -> jax.Array:
+def windowed_spmm_t(
+    A, Xp: jax.Array, interpret: bool = False,
+    out_buf: Optional[jax.Array] = None,
+) -> jax.Array:
     """Yp (m, width) = (A @ X)^T for a Windowed{ELL,BSR} operand; Xp in the
     right-padded internal layout (pad columns zero, preserved by the
-    zero-coefficient padded rows)."""
+    zero-coefficient padded rows).
+
+    ``out_buf``: a DEAD same-shape buffer to donate as the output's storage
+    (``input_output_aliases``). Unlike the DIA kernel, aliasing Xp itself is
+    UNSAFE here — each tile's gather window looks back at X columns whose
+    output tiles were already written — so callers that iterate
+    Y = A X inside a while-loop carry ping-pong two buffers and hand the
+    dead one here; XLA then writes the kernel output straight into the
+    carry slot instead of copying a full multivector per call (the 40%-of-
+    wall-time defect the DIA path measured; dia_spmm.py:325-334). The
+    donated operand enters the kernel as a dummy input with a minimal
+    (8, 128) block pinned to the origin, so the extra DMA traffic is
+    negligible; its ref is never read."""
     if isinstance(A, WindowedELL):
         br = bc = 1
         k = A.data.shape[0]
@@ -495,18 +517,32 @@ def windowed_spmm_t(A, Xp: jax.Array, interpret: bool = False) -> jax.Array:
     )
     nbW = -(-width // W)  # W-aligned block count (last may be partial)
 
+    in_specs = [
+        pl.BlockSpec((coeffs.shape[0], Trb), lambda t, s: (0, t)),
+        pl.BlockSpec((k, Trb), lambda t, s: (0, t)),
+        pl.BlockSpec((mpad, W), lambda t, s: (0, s[t] // W)),
+        pl.BlockSpec(
+            (mpad, W),
+            lambda t, s: (0, jnp.minimum(s[t] // W + 1, nbW - 1)),
+        ),
+    ]
+    operands = [A.starts, coeffs, cols, Xp, Xp]
+    io_alias = {}
+    if out_buf is not None:
+        if out_buf.shape != (mpad, width) or out_buf.dtype != Xp.dtype:
+            raise ValueError(
+                f"windowed_spmm_t: out_buf {out_buf.shape}/{out_buf.dtype} "
+                f"!= output ({mpad}, {width})/{Xp.dtype}"
+            )
+        in_specs.append(
+            pl.BlockSpec((min(mpad, 8), 128), lambda t, s: (0, 0))
+        )
+        operands.append(out_buf)
+        io_alias = {5: 0}  # (starts, coeffs, cols, xlo, xhi, out_buf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nt,),
-        in_specs=[
-            pl.BlockSpec((coeffs.shape[0], Trb), lambda t, s: (0, t)),
-            pl.BlockSpec((k, Trb), lambda t, s: (0, t)),
-            pl.BlockSpec((mpad, W), lambda t, s: (0, s[t] // W)),
-            pl.BlockSpec(
-                (mpad, W),
-                lambda t, s: (0, jnp.minimum(s[t] // W + 1, nbW - 1)),
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((mpad, Tr), lambda t, s: (0, t)),
     )
     flops = 2 * A.nnz * mpad
@@ -521,5 +557,6 @@ def windowed_spmm_t(A, Xp: jax.Array, interpret: bool = False) -> jax.Array:
             ) * Xp.dtype.itemsize,
             transcendentals=0,
         ),
+        input_output_aliases=io_alias,
         interpret=interpret,
-    )(A.starts, coeffs, cols, Xp, Xp)
+    )(*operands)

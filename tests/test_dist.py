@@ -189,6 +189,119 @@ def test_sharded_standard_inverse_schwarz_matches_single():
     )
 
 
+def test_padded_spmm_halo_matches_single_chip(rng):
+    """The spmm='padded' hot path (per-shard guarded Pallas kernel +
+    ppermute edge corrections) must reproduce the single-chip SpMM.
+    Interpret-mode Pallas on the CPU mesh; f32 kernel accumulation."""
+    from functools import partial
+
+    from dune_eigensolver_tpu.dist.sharded import _ShardEngine
+
+    N = 16
+    A = problems.laplacian_dirichlet_2d(N)
+    n = A.shape[0]
+    Xt = jnp.asarray(rng.normal(size=(n, 8))).T
+    ref = np.asarray(spmm(A, Xt.T))
+
+    mesh = make_mesh(8)
+    axis = mesh.axis_names[0]
+
+    def local(adata, xloc):
+        eng = _ShardEngine([adata], [A.offsets], 8, axis, "padded")
+        Yp = eng.apply(0)(eng.pad_q0(xloc))
+        L = eng.layout
+        return jax.lax.slice(Yp, (0, L.G), (Yp.shape[0], L.G + L.n))
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, axis), P(None, axis)),
+            out_specs=P(None, axis), check_vma=False,
+        )
+    )
+    Ad = jax.device_put(A.data, NamedSharding(mesh, P(None, axis)))
+    Xs = jax.device_put(Xt, NamedSharding(mesh, P(None, axis)))
+    out = np.asarray(fn(Ad, Xs)).T
+    scale = np.abs(ref).max()
+    assert np.abs(out - ref).max() / scale < 1e-6  # f32 kernel accumulation
+
+
+def test_sharded_largest_padded_mode_matches_xla():
+    """spmm='padded' and spmm='xla' must agree on the whole solve."""
+    N = 16
+    A = problems.laplacian_dirichlet_2d(N)
+    kw = dict(nev=4, tol=1e-8, maxiter=2000, mesh=make_mesh(8))
+    res_p = sharded_standard_largest(A, spmm="padded", **kw)
+    res_x = sharded_standard_largest(A, spmm="xla", **kw)
+    assert (
+        np.abs(
+            np.asarray(res_p.eigenvalues) - np.asarray(res_x.eigenvalues)
+        ).max()
+        < 1e-5
+    )
+    ana = eigenvalues_laplace_dirichlet_2d(N)[::-1][:4]
+    assert np.abs(np.asarray(res_p.eigenvalues) - ana).max() < 2e-3
+
+
+def test_sharded_generalized_padded_mode_matches_xla():
+    N, overlap, shift = 16, 3, 1e-3
+    A = problems.laplacian_neumann_2d(N)
+    B = problems.laplacian_b_2d(N, overlap)
+    kw = dict(
+        nev=4, tol=2e-3, maxiter=500, shift=shift,
+        mesh=make_mesh(8), cg_rtol=1e-8,
+    )
+    res_p = sharded_generalized_inverse(A, B, spmm="padded", **kw)
+    res_x = sharded_generalized_inverse(A, B, spmm="xla", **kw)
+    assert (
+        np.abs(
+            np.asarray(res_p.eigenvalues) - np.asarray(res_x.eigenvalues)
+        ).max()
+        < 1e-5
+    )
+
+
+def test_sharded_nondivisible_rows():
+    """Row counts that do not divide the mesh size are padded with
+    decoupled identity rows (reference BCRS accepts any n; so do we)."""
+    N = 15  # n = 225, not divisible by 8
+    A = problems.laplacian_dirichlet_2d(N)
+    res_s = sharded_standard_largest(
+        A, nev=4, tol=1e-10, maxiter=2000, mesh=make_mesh(8)
+    )
+    res_1 = standard_largest(A, nev=4, tol=1e-10, maxiter=2000)
+    assert res_s.eigenvectors.shape == (225, 4)
+    assert (
+        np.abs(
+            np.asarray(res_s.eigenvalues) - np.asarray(res_1.eigenvalues)
+        ).max()
+        < 1e-8
+    )
+    ana = eigenvalues_laplace_dirichlet_2d(N)[::-1][:4]
+    assert np.abs(np.asarray(res_s.eigenvalues) - ana).max() < 2e-3
+
+
+def test_sharded_generalized_nondivisible_rows():
+    N, overlap, shift = 15, 3, 1e-3  # n = 225
+    A = problems.laplacian_neumann_2d(N)
+    B = problems.laplacian_b_2d(N, overlap)
+    res_s = sharded_generalized_inverse(
+        A, B, nev=4, tol=2e-3, maxiter=500, shift=shift,
+        mesh=make_mesh(8), cg_rtol=1e-10,
+    )
+    res_1 = generalized_inverse(
+        A, B, nev=4, tol=2e-3, maxiter=500, shift=shift,
+        inverse=cg_inverse_factory(rtol=1e-10, maxiter=2000),
+    )
+    assert res_s.eigenvectors.shape == (225, 4)
+    assert (
+        np.abs(
+            np.asarray(res_s.eigenvalues) - np.asarray(res_1.eigenvalues)
+        ).max()
+        < 1e-6
+    )
+
+
 def test_rect_laplacian_matches_square():
     Ar = problems.laplacian_dirichlet_rect(12, 12)
     As = problems.laplacian_dirichlet_2d(12)

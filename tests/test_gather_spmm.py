@@ -64,6 +64,20 @@ def test_windowed_ell_matches_xla(rng):
     assert np.abs(Y[:, A.shape[0] :]).max() == 0.0  # pad columns stay zero
 
 
+def test_windowed_ell_out_buf_donation(rng):
+    """The out_buf donation path (ping-pong buffers, no per-call copy in
+    while-loop carries) must be numerically identical to the plain call."""
+    S = _random_sym_csr(1000, 7, seed=3)
+    A = ell_from_scipy(S, dtype=np.float32)
+    W = windowed_from_ell(A, tile=512)
+    Xt = jnp.asarray(rng.normal(size=(8, A.shape[0])).astype(np.float32))
+    Xp = jnp.pad(Xt, ((0, 0), (0, W.width - A.shape[0])))
+    dead = jnp.full_like(Xp, jnp.nan)  # donated storage; contents ignored
+    Y0 = np.asarray(windowed_spmm_t(W, Xp, interpret=True))
+    Y1 = np.asarray(windowed_spmm_t(W, Xp, interpret=True, out_buf=dead))
+    assert np.array_equal(Y0, Y1)
+
+
 @pytest.mark.parametrize("block", [(2, 2), (3, 3)])
 def test_windowed_bsr_matches_xla(rng, block):
     br, _ = block
