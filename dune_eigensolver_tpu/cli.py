@@ -366,20 +366,20 @@ def eigenvalues_test(ptree) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _bench_op(fn, *args, n_iter: int, reps: int = 3) -> float:
-    """Best-of-reps time per application, amortized over n_iter chained
-    applications (tunnel-safe: one fetch per rep)."""
-    f = jax.jit(fn)
-    out = f(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = f(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / n_iter)
-    return best
+def _bench_op(fn, x0, n_iter: int, reps: int = 3, op_args=()) -> float:
+    """Time per application of the self-composable ``fn(x, *op_args)``.
+
+    Tunnel-safe: chains n_iter applications inside ONE jit and differences
+    two chain lengths (bench/timing.py) — on the tunneled TPU,
+    ``block_until_ready`` does NOT drain the pipeline (only a host fetch
+    does) and each separate dispatch costs ~30-40 ms, so per-dispatch
+    timing would measure the tunnel, not the chip. Operands go through
+    ``op_args`` (jit arguments), never closures (compile-RPC bloat)."""
+    from dune_eigensolver_tpu.bench.timing import bench_loop
+
+    return bench_loop(
+        lambda x, *a: fn(x, *a), x0, K=n_iter, reps=reps, op_args=op_args
+    )
 
 
 def mgs_performance_test(ptree) -> dict:
@@ -443,14 +443,18 @@ def matvec_performance_test(ptree) -> dict:
 
     interp = jax.devices()[0].platform != "tpu"  # CPU: interpret-mode Pallas
     results = {}
-    variants = [("xla", lambda V: spmm(A, V), X)]
+    variants = [("xla", lambda V, M: spmm(M, V), X)]
     if m % 8 == 0:  # transposed kernels want whole f32 sublane groups
         variants += [
-            ("pallas_t", lambda V: dia_spmm_t_pallas(A, V, interpret=interp), Xt),
-            ("xla_t", lambda V: dia_spmm_t_xla(A, V), Xt),
+            (
+                "pallas_t",
+                lambda V, M: dia_spmm_t_pallas(M, V, interpret=interp),
+                Xt,
+            ),
+            ("xla_t", lambda V, M: dia_spmm_t_xla(M, V), Xt),
         ]
     for name, fn, arg in variants:
-        t = _bench_op(fn, arg, n_iter=20)
+        t = _bench_op(fn, arg, n_iter=20, op_args=(A,))
         gf = flops_spmm(nnz, m) / t / 1e9
         gb = bytes_spmm_dia(n, len(A.offsets), m, dt.itemsize) / t / 1e9
         results[name] = gf
@@ -470,19 +474,32 @@ def matvec_performance_test(ptree) -> dict:
         from dune_eigensolver_tpu.sparse.spmm import spmm_t
 
         Ab, _ = problems.elasticity_2d(max(2, N // 2), dtype=dt)
-        Ae = ell_from_scipy(Ab.to_scipy(), dtype=dt)
+        Sa = Ab.to_scipy()
+        # normalize so chained bench applications stay bounded (the DIA
+        # operand above is pre-scaled the same way)
+        rho = float(np.abs(Sa).sum(axis=1).max())
+        Sa = Sa / rho
+        from dune_eigensolver_tpu.sparse.formats import bsr_from_scipy
+
+        Ab = bsr_from_scipy(Sa, block=Ab.block, dtype=dt)
+        Ae = ell_from_scipy(Sa, dtype=dt)
         for name, M in (("bsr", Ab), ("ell", Ae)):
             try:
-                M_int, _, L = make_windowed_operands(M)
+                M_int, _, L = make_windowed_operands(M, m=m)
             except ValueError:
                 print(f"RESULT {name}_win skipped (window overflow)", flush=True)
                 continue
-            Xw = jax.random.normal(key, (m, L.width), dtype=dt)
+            # pad lanes must be zero: windowed pad rows preserve zeros, and
+            # the chained bench re-feeds Y as X
+            Xw = L.pad(jax.random.normal(key, (m, M.shape[0]), dtype=dt))
             for variant, op, arg in (
                 (f"{name}_win", M_int, Xw),
                 (f"{name}_xla", M, Xw[:, : M.shape[0]]),
             ):
-                t = _bench_op(lambda V, _op=op: spmm_t(_op, V), arg, n_iter=20)
+                t = _bench_op(
+                    lambda V, _op: spmm_t(_op, V), arg, n_iter=20,
+                    op_args=(op,),
+                )
                 gf = flops_spmm(M.nnz, m) / t / 1e9
                 # effective bytes: coefficients+indices once, X and Y once
                 bts = (2 * M.nnz + 2 * M.shape[0] * m) * dt.itemsize
@@ -530,6 +547,12 @@ def main(argv: Optional[list] = None) -> int:
     dev = jax.devices()[0]
     _log(ptree, 1, f"device: {dev.device_kind} platform={dev.platform}")
     _log(ptree, 2, repr(ptree))
+
+    if int(ptree.get("ev.paranoid", 0)):
+        # runtime NaN tripwire on every kernel dispatch (utils/paranoid.py)
+        from dune_eigensolver_tpu.utils.paranoid import set_paranoid
+
+        set_paranoid(True)
 
     names = list(TESTS) if test == "all" else [test]
     from dune_eigensolver_tpu.utils.vlog import profiler_trace

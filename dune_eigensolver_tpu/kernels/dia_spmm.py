@@ -210,7 +210,11 @@ def _pick_tile(n: int, m: int, offsets, budget: int = 10 * 2**20) -> int:
     does not count, and on v5e the composed solver programs (LOBPCG while
     -> CG while -> Chebyshev fori -> this kernel) silently produced NaNs at
     a modeled ~9 MB while the same kernel ran clean standalone — empirical
-    safe point is a modeled <= ~5 MB when any far group exists."""
+    safe point is a modeled <= ~5 MB when any far group exists. The mode is
+    pinned by experiments/vmem_nan_repro.py (budget sweep over the same
+    composition ladder; re-run it before raising this budget), and
+    utils/paranoid.py (ev.paranoid=1) adds a runtime isfinite tripwire
+    after every kernel dispatch."""
     mpad = _round_up(max(m, 8), 8)
     ndiag = max(len(offsets), 1)
     for T in (32768, 16384, 8192, 4096, 2048, 1024, 512, 256, 128):

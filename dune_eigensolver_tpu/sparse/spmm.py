@@ -127,12 +127,20 @@ def spmm_t(A, Xt: jax.Array, donate: bool = False) -> jax.Array:
         windowed_spmm_t,
     )
 
+    from dune_eigensolver_tpu.utils.paranoid import nan_check
+
     if isinstance(A, PaddedDIA):
         if donate and min(A.offsets, default=0) < -A.tile:
             donate = False  # in-place unsafe for far-left clusters (3D)
-        return padded_spmm(A, Xt, donate=donate, interpret=not _on_tpu())
+        return nan_check(
+            padded_spmm(A, Xt, donate=donate, interpret=not _on_tpu()),
+            "padded_spmm",
+        )
     if isinstance(A, (WindowedELL, WindowedBSR)):
-        return windowed_spmm_t(A, Xt, interpret=not _on_tpu())
+        return nan_check(
+            windowed_spmm_t(A, Xt, interpret=not _on_tpu()),
+            "windowed_spmm_t",
+        )
     if isinstance(A, DIAMatrix):
         return dia_spmm_t_xla(A, Xt)
     if isinstance(A, ELLMatrix):
