@@ -1,38 +1,58 @@
-"""Windowed-gather Pallas SpMM for general (ELL / block-ELL) sparsity.
+"""Segmented vreg-gather Pallas SpMM for general (ELL / block-ELL) sparsity.
 
 TPU-native replacement for the reference's arbitrary-pattern CSR/BCRS
 multi-RHS kernels (``matmul_sparse_tallskinny_*``, kernels_cpp.hh:626-657;
 kernels_avx2.hh:1021-1059; blocks umfpacktools.hh:57-95). The reference
-streams CSR rows and gathers X entries column-by-column; the TPU has no
-scalar gather pipe, but Mosaic lowers ``take_along_axis`` along the lane
-dimension to a hardware ``dynamic_gather`` when the index array matches the
-source shape. That primitive shapes the whole design:
+streams CSR rows and gathers X entries scalar-by-scalar; the TPU's only
+irregular-access primitive is ``tpu.dynamic_gather``, and hardware probing
+(experiments/mosaic_gather_probe.py, v5e) pins its actual contract:
+
+* lane gathers are limited to a SINGLE vreg along the gather dimension —
+  a (m, 128) source; any wider ``take_along_axis`` fails to lower
+  ("Multiple source vregs along gather dimension"). A W-wide windowed
+  gather is therefore impossible; gathers must be planned at 128-lane
+  granularity.
+* dynamic indexing of the leading dim of a 3D VMEM ref IS supported, as is
+  a 128-aligned dynamic lane slice.
+
+Those two facts shape the design:
 
 * rows are tiled (``Tr`` scalar columns of the transposed multivector per
   grid step) and, like nearly every FEM/graph operator after an RCM-style
   ordering, each row tile's column support fits a bounded WINDOW of X;
 * the window arrives through two W-wide auto-pipelined blocked inputs
-  (index maps ``starts[t] // W`` and ``+1`` — per-tile starts are
-  scalar-prefetched) and one dynamic lane-slice; the kernel then runs one
-  lane-gather + FMA per ELL slot — k gathers of (m, W) replace the
-  reference's nnz scalar gathers. No manual cross-grid-step DMA: that
-  pattern silently corrupts on v5e (see dia_spmm.py, same finding);
-* the block variant (br, bc) keeps the SAME gather core: coefficients are
-  stored as br*bc planar slabs, each (slot, u) gathers the u-th scalar
-  column of the block columns, accumulates br planar outputs, and ONE final
-  static-permutation gather interleaves the planes into the blocked column
-  order — no strided lane access anywhere.
+  (index maps ``starts[t] // W`` and ``+1``; per-tile starts are
+  scalar-prefetched) and is staged once per tile into a (2W/128, m, 128)
+  VMEM scratch of 128-lane blocks;
+* every matrix entry is host-assigned to a SEGMENT ``s`` identified by a
+  static block offset ``offs[s] = col//128 - row//128`` plus a
+  multiplicity rank, so the hot loop per segment is: one dynamic scratch
+  load of the (m, 128) source block at ``row_block + offs[s]`` (pure
+  in-kernel scalar arithmetic — no per-segment metadata), one single-vreg
+  lane gather with the segment's stored ``col % 128`` lanes, one FMA.
+  k' = smax such gathers replace the reference's nnz scalar gathers;
+* segmentation is HYBRID: only (offset, rank) slots covering at least
+  ``_KEEP_MIN_FRAC`` of the rows become kernel segments (FEM/stencil
+  patterns land ~0.9 fill); the irregular remainder — boundary-row
+  stragglers, long-range graph edges, or entire unbandable random
+  patterns — is carried as a padded COO tail applied by an XLA
+  gather + scatter-add after the kernel. Correctness never depends on
+  bandability; only the fast-path fraction does;
+* block (BSR) operands are scalar-expanded at setup: the segment planner
+  is pattern-agnostic, so FieldMatrix blocks need no special kernel.
 
-Containers carry everything pre-relativized (cols are window-relative, rows
-padded to the tile grid), so the hot loop does zero index arithmetic beyond
-``rel * bc + u``. Operands whose window would overflow VMEM raise at setup
-and callers fall back to the XLA gather formulations (sparse/spmm.py).
+Containers carry everything pre-relativized (lanes are 128-block-relative,
+rows padded to the tile grid), so the hot loop does zero index arithmetic
+beyond the per-subgroup block base. Operands whose window or segment count
+would overflow VMEM raise at setup and callers fall back to the XLA gather
+formulations (sparse/spmm.py).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import functools
+import math
 from typing import Optional, Tuple
 
 import numpy as np
@@ -45,7 +65,6 @@ from jax.experimental.pallas import tpu as pltpu
 from dune_eigensolver_tpu.sparse.formats import (
     BSRMatrix,
     ELLMatrix,
-    bsr_from_scipy,
     ell_from_scipy,
 )
 
@@ -55,33 +74,62 @@ def _round_up(x: int, m: int) -> int:
 
 
 # X-window VMEM model: 2 double-buffered W-blocks per pipelined input (x2
-# inputs) + the concat/slice temporaries ~ 7 * mpad * W * 4 B. Budget
-# matches dia_spmm's empirical safe point for composed solver programs
-# (~5 MB modeled); wider supports must use the XLA fallback.
+# inputs) + the (2W/128, m, 128) staging scratch ~ 6 * mpad * W * 4 B, plus
+# segment coefficient/lane blocks and the output tile. Budget matches
+# dia_spmm's empirical safe point for composed solver programs (~5 MB
+# modeled); wider supports must use the XLA fallback.
 _VMEM_BUDGET = 5 * 2**20
 _W_MAX = 64 * 1024
+# segments per operand: past this the coefficient arrays are mostly padding
+# (pattern too irregular for static-offset segmentation); lower-coverage
+# slots spill to the COO tail instead.
+_SMAX_CAP = 48
+# an (offset, rank) slot must cover at least this fraction of the rows to
+# earn a kernel segment. The tradeoff is lopsided: a segment costs one
+# n-lane coefficient+lane stream (~tens of us at HBM rate) while a COO-tail
+# entry costs an XLA gather + scatter-add element (~100 ns measured on
+# v5e — the tail dominated the first hardware capture at 1.3% of nnz), so
+# break-even coverage is ~0.1% of rows; _SMAX_CAP bounds the worst case.
+_KEEP_MIN_FRAC = 1.0 / 1024.0
 
 
-def _w_cap(m: int) -> int:
+def _w_cap(m: int, smax: int = 8, tile: int = 2048) -> int:
     mpad = _round_up(max(m, 8), 8)
-    return min(_W_MAX, (_VMEM_BUDGET // (7 * 4 * mpad) // 128) * 128)
+    rest = 2 * 2 * smax * tile * 8 + 2 * mpad * tile * 4
+    return min(
+        _W_MAX, max(0, (_VMEM_BUDGET - rest) // (6 * 4 * mpad) // 128) * 128
+    )
 
 
 @dataclasses.dataclass(frozen=True)
 class WindowedELL:
-    """ELL operand pre-arranged for the windowed-gather kernel.
+    """Segmented ELL operand pre-arranged for the vreg-gather kernel.
 
-    data/cols are transposed to (k, n_pad) — slots on sublanes, rows on
-    lanes — and cols are RELATIVE to the owning tile's window start.
+    ``data``/``lanes`` are (smax, n_pad) — segments on sublanes, rows on
+    lanes. Entry (s, i) contributes ``data[s,i] * X[col]`` with
+    ``col = (i//128 + offs[s]) * 128 + lanes[s,i]``; absent entries carry
+    ``data == 0``. ``starts`` are per-row-tile X-window starts (multiples
+    of 128) used only for pipelining X slabs into VMEM.
+
+    ``far_*`` hold the COO tail: entries whose (offset, rank) slot was too
+    sparsely covered to earn a kernel segment. Padded to a lane multiple
+    with zero values (pad rows/cols point at valid indices); applied by an
+    XLA gather + scatter-add after the kernel. ``far_nnz == 0`` (static)
+    skips the tail entirely.
     """
 
-    data: jax.Array  # (k, n_pad)
-    cols_rel: jax.Array  # (k, n_pad) int32, window-relative
+    data: jax.Array  # (smax, n_pad)
+    lanes: jax.Array  # (smax, n_pad) int32 in [0, 128)
     starts: jax.Array  # (nt,) int32 window starts (scalar cols)
+    far_rows: jax.Array  # (nfar_pad,) int32
+    far_cols: jax.Array  # (nfar_pad,) int32
+    far_vals: jax.Array  # (nfar_pad,)
+    offs: Tuple[int, ...]  # static per-segment block offsets
     shape: Tuple[int, int]  # static, logical
     tile: int  # static Tr (scalar columns per grid step)
-    window: int  # static W
+    window: int  # static W (scalar columns per pipelined slab)
     nnz: int  # static
+    far_nnz: int  # static (0 = no tail)
 
     @property
     def n(self) -> int:
@@ -95,136 +143,85 @@ class WindowedELL:
     def dtype(self):
         return self.data.dtype
 
+    def _cols_abs(self) -> jax.Array:
+        lane = jnp.arange(self.width, dtype=jnp.int32)
+        offs = jnp.asarray(self.offs, jnp.int32)[:, None]
+        return (lane[None, :] // 128 + offs) * 128 + self.lanes
+
     def padded_diagonal(self, fill=1.0) -> jax.Array:
         """(n_pad,) diagonal with ``fill`` in the padded tail (guard-safe
         Jacobi scaling, same contract as PaddedDIA.padded_diagonal)."""
-        n, width = self.n, self.width
-        lane = jnp.arange(width, dtype=jnp.int32)
-        t = lane // self.tile
-        absolute = self.cols_rel + self.starts[t][None, :]
-        on_diag = absolute == lane[None, :]
-        first = on_diag & (jnp.cumsum(on_diag, axis=0) == 1)
-        diag = jnp.sum(jnp.where(first, self.data, 0), axis=0)
-        return jnp.where(lane < n, diag, jnp.asarray(fill, self.dtype))
-
-    def diagonal(self) -> jax.Array:
-        return self.padded_diagonal(fill=1.0)[: self.n]
-
-    def to_logical(self) -> ELLMatrix:
-        """Recover the plain ELLMatrix (setup/verification use)."""
-        n, k = self.n, self.data.shape[0]
-        t = jnp.arange(self.width, dtype=jnp.int32) // self.tile
-        cols_abs = self.cols_rel + self.starts[t][None, :]
-        data = self.data[:, :n].T
-        cols = jnp.clip(cols_abs[:, :n].T, 0, n - 1)
-        # padding slots carry zero data; clamp keeps their indices valid
-        return ELLMatrix(data=data, cols=cols, shape=self.shape, nnz=self.nnz)
-
-
-jax.tree_util.register_dataclass(
-    WindowedELL,
-    data_fields=["data", "cols_rel", "starts"],
-    meta_fields=["shape", "tile", "window", "nnz"],
-)
-
-
-@dataclasses.dataclass(frozen=True)
-class WindowedBSR:
-    """Block-ELL operand for the windowed-gather kernel.
-
-    ``planes[(a*bc + u)*k + j]`` holds coefficient (a, u) of slot j for
-    every block row (lanes). ``bcols_rel`` are BLOCK indices relative to
-    ``starts[t] // bc`` (starts are multiples of 128*bc so block alignment
-    survives the clamp).
-    """
-
-    planes: jax.Array  # (br*bc*k, nbr_pad)
-    bcols_rel: jax.Array  # (k, nbr_pad) int32
-    starts: jax.Array  # (nt,) int32 scalar-column window starts
-    shape: Tuple[int, int]  # static, logical (scalar)
-    block: Tuple[int, int]  # static (br, bc)
-    tile: int  # static Tr in SCALAR columns (= Trb * br)
-    window: int  # static W (scalar columns)
-    nnz: int  # static
-
-    @property
-    def n(self) -> int:
-        return self.shape[0]
-
-    @property
-    def k(self) -> int:
-        br, bc = self.block
-        return self.planes.shape[0] // (br * bc)
-
-    @property
-    def width(self) -> int:
-        br, _ = self.block
-        return self.planes.shape[-1] * br
-
-    @property
-    def dtype(self):
-        return self.planes.dtype
-
-    def padded_diagonal(self, fill=1.0) -> jax.Array:
-        br, bc = self.block
-        if br != bc:
-            raise ValueError("padded_diagonal: needs square blocks")
-        k, nbr_pad = self.k, self.planes.shape[-1]
-        blane = jnp.arange(nbr_pad, dtype=jnp.int32)
-        t = (blane * br) // self.tile
-        start_b = self.starts[t] // bc
-        absolute = self.bcols_rel + start_b[None, :]
-        on_diag = absolute == blane[None, :]
-        first = on_diag & (jnp.cumsum(on_diag, axis=0) == 1)
-        # diagonal of block (i, i) is coefficient (a, a) of the on-diag slot
-        cols = []
-        for a in range(br):
-            plane = self.planes[(a * bc + a) * k : (a * bc + a + 1) * k]
-            cols.append(jnp.sum(jnp.where(first, plane, 0), axis=0))
-        diag = jnp.stack(cols, axis=1).reshape(-1)  # (nbr_pad * br,)
-        lane = jnp.arange(diag.shape[0], dtype=jnp.int32)
+        lane = jnp.arange(self.width, dtype=jnp.int32)
+        on_diag = (self._cols_abs() == lane[None, :]) & (self.data != 0)
+        diag = jnp.sum(jnp.where(on_diag, self.data, 0), axis=0)
+        if self.far_nnz:
+            hit = (self.far_rows == self.far_cols) & (self.far_vals != 0)
+            diag = diag.at[self.far_rows].add(
+                jnp.where(hit, self.far_vals, 0)
+            )
         return jnp.where(lane < self.n, diag, jnp.asarray(fill, self.dtype))
 
     def diagonal(self) -> jax.Array:
         return self.padded_diagonal(fill=1.0)[: self.n]
 
-    def to_logical(self) -> BSRMatrix:
-        br, bc = self.block
-        k = self.k
-        nbr = self.n // br
-        nbr_pad = self.planes.shape[-1]
-        blane = jnp.arange(nbr_pad, dtype=jnp.int32)
-        t = (blane * br) // self.tile
-        start_b = self.starts[t] // bc
-        bcols_abs = self.bcols_rel + start_b[None, :]
-        bcols = jnp.clip(bcols_abs[:, :nbr].T, 0, self.shape[1] // bc - 1)
-        P = self.planes.reshape(br, bc, k, nbr_pad)
-        bdata = jnp.transpose(P[:, :, :, :nbr], (3, 2, 0, 1))  # (nbr, k, br, bc)
-        return BSRMatrix(
-            bdata=bdata, bcols=bcols, shape=self.shape, block=self.block,
-            nnz=self.nnz,
-        )
+    def to_logical(self) -> ELLMatrix:
+        """Recover a plain ELLMatrix (host-side setup/verification use;
+        block operands come back scalar-expanded)."""
+        import scipy.sparse as sp
+
+        n = self.n
+        cols = np.clip(np.asarray(self._cols_abs()), 0, self.shape[1] - 1)
+        data = np.asarray(self.data)
+        s, r = np.nonzero(data)
+        rows = np.concatenate([r, np.asarray(self.far_rows)])
+        cc = np.concatenate([cols[s, r], np.asarray(self.far_cols)])
+        vv = np.concatenate([data[s, r], np.asarray(self.far_vals)])
+        keep = (vv != 0) & (rows < n)
+        S = sp.coo_matrix(
+            (vv[keep], (rows[keep], cc[keep])), shape=self.shape
+        ).tocsr()
+        return ell_from_scipy(S, dtype=data.dtype)
+
+
+jax.tree_util.register_dataclass(
+    WindowedELL,
+    data_fields=["data", "lanes", "starts", "far_rows", "far_cols",
+                 "far_vals"],
+    meta_fields=["offs", "shape", "tile", "window", "nnz", "far_nnz"],
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowedBSR(WindowedELL):
+    """Block (BSR) operand, scalar-expanded onto the same segmented layout
+    (the planner is pattern-agnostic; ``block`` is kept as metadata so
+    callers can recover the FieldMatrix block size)."""
+
+    block: Tuple[int, int] = (1, 1)  # static (br, bc)
 
 
 jax.tree_util.register_dataclass(
     WindowedBSR,
-    data_fields=["planes", "bcols_rel", "starts"],
-    meta_fields=["shape", "block", "tile", "window", "nnz"],
+    data_fields=["data", "lanes", "starts", "far_rows", "far_cols",
+                 "far_vals"],
+    meta_fields=["offs", "shape", "tile", "window", "nnz", "far_nnz",
+                 "block"],
 )
 
 
 # ---------------------------------------------------------------------------
-# Setup converters (host-side numpy; one-time cost like the reference's
+# Setup planner (host-side numpy; one-time cost like the reference's
 # BCRS -> CSC conversion at umfpacktools.hh:57-95)
 # ---------------------------------------------------------------------------
 
 
-def _plan_windows(mincol, maxcol, n: int, Tr: int, align: int, w_cap: int):
-    """Per-tile window starts + the common width W. mincol/maxcol are
-    per-tile scalar column extents (maxcol exclusive)."""
-    starts = (mincol // align) * align
-    W = int(_round_up(int(np.max(maxcol - starts)) if len(starts) else align, 128))
-    W = max(W, _round_up(Tr, 128))
+def _plan_windows(mincol, maxcol, Tr: int, w_cap: int):
+    """Per-tile window starts + the common slab width W (multiple of Tr so
+    one width can be a multiple of both). mincol/maxcol are per-tile scalar
+    column extents (maxcol exclusive)."""
+    starts = (mincol // 128) * 128
+    span = int(np.max(maxcol - starts)) if len(starts) else 128
+    W = _round_up(max(span, Tr), Tr)
     if W > w_cap:
         raise ValueError(
             f"windowed spmm: required window {W} exceeds the {w_cap}-lane "
@@ -232,119 +229,167 @@ def _plan_windows(mincol, maxcol, n: int, Tr: int, align: int, w_cap: int):
             "(operator support too scattered — consider an RCM reordering "
             "first)"
         )
-    width_needed = int(np.max(starts)) + W if len(starts) else W
+    # the xhi slab (index starts//W + 1) must always be a real slab so its
+    # data is live wherever entries fall past starts+W-epsilon
+    width_needed = (int(np.max(starts // W)) + 2) * W if len(starts) else 2 * W
     return starts.astype(np.int32), W, width_needed
 
 
+def _plan_segments(data, cols, n: int):
+    """Assign entries to (static block offset, multiplicity rank) slots and
+    split them into kernel segments vs the COO tail.
+
+    A slot (o, j) covers the rows whose j-th entry at block offset ``o``
+    exists; its coverage equals the number of such entries. Slots covering
+    at least ``_KEEP_MIN_FRAC`` of the rows (capped at ``_SMAX_CAP`` total,
+    highest coverage first) become kernel segments; everything else goes to
+    the tail. Returns (offs list, near mask, seg index per entry, valid
+    mask). Entries with zero coefficient are treated as absent."""
+    nrows, k = cols.shape
+    valid = data != 0
+    r = np.arange(nrows, dtype=np.int64)[:, None]
+    o = np.where(valid, cols // 128 - r // 128, np.int64(2**40))
+    # rank of each entry within its (row, offset) group: sort each row's
+    # offset keys (pads last), rank runs on the sorted keys, then map the
+    # ranks back through the stable argsort
+    o_key = np.sort(o, axis=1)
+    idx = np.broadcast_to(np.arange(k), (nrows, k))
+    change = np.ones((nrows, k), bool)
+    if k > 1:
+        change[:, 1:] = o_key[:, 1:] != o_key[:, :-1]
+    run_start = np.maximum.accumulate(np.where(change, idx, 0), axis=1)
+    rank_sorted = idx - run_start
+    order = np.argsort(o, axis=1, kind="stable")
+    rank = np.empty((nrows, k), np.int64)
+    np.put_along_axis(rank, order, rank_sorted, axis=1)
+
+    ov, jv = o[valid], rank[valid]
+    if ov.size == 0:
+        near = np.zeros((nrows, k), bool)
+        return [0], near, np.zeros((nrows, k), np.int64), valid
+    uo, inv = np.unique(ov, return_inverse=True)
+    kmax = int(jv.max()) + 1
+    # slot coverage = #entries with (offset o, rank j) — one per covering row
+    slot_id = inv * kmax + jv
+    cov = np.bincount(slot_id, minlength=len(uo) * kmax)
+    live = np.nonzero(cov)[0]
+    # keep highest-coverage slots: each segment costs a full n-lane
+    # coefficient+lane row, so sparse slots are cheaper as COO entries
+    min_cov = max(4, int(_KEEP_MIN_FRAC * nrows))
+    keep = live[cov[live] >= min_cov]
+    if len(keep) > _SMAX_CAP:
+        keep = keep[np.argsort(cov[keep], kind="stable")[::-1][:_SMAX_CAP]]
+    keep = np.sort(keep)
+    if len(keep) == 0:  # degenerate: everything rides the tail
+        near = np.zeros((nrows, k), bool)
+        return [0], near, np.zeros((nrows, k), np.int64), valid
+    offs = [int(uo[sid // kmax]) for sid in keep]
+    # map slot_id -> segment index (or -1 = tail)
+    seg_of = np.full(len(uo) * kmax, -1, np.int64)
+    seg_of[keep] = np.arange(len(keep))
+    seg = np.zeros((nrows, k), np.int64)
+    seg_valid = seg_of[slot_id]
+    seg[valid] = seg_valid
+    near = np.zeros((nrows, k), bool)
+    near[valid] = seg_valid >= 0
+    return offs, near, seg, valid
+
+
 def windowed_from_ell(
-    A: ELLMatrix, tile: int = 2048, min_width: int = 0, m: int = 8
+    A: ELLMatrix, tile: int = 2048, min_width: int = 0, m: int = 8,
+    min_window: int = 0,
 ) -> WindowedELL:
-    """Rearrange an ELLMatrix for the gather kernel (host-side setup).
-    ``min_width`` forces a larger padded width (operand-width matching);
-    ``m`` is the widest multivector the kernel will stream (VMEM cap)."""
+    """Rearrange an ELLMatrix for the vreg-gather kernel (host-side setup).
+    ``min_width``/``min_window`` force larger padded width / slab width
+    (operand-pair matching); ``m`` is the widest multivector the kernel
+    will stream (VMEM cap)."""
+    return _build_segmented(A, WindowedELL, {}, tile, min_width, m,
+                            min_window)
+
+
+def windowed_from_bsr(
+    A: BSRMatrix, tile: int = 2048, min_width: int = 0, m: int = 8,
+    min_window: int = 0,
+) -> WindowedBSR:
+    """Rearrange a block-ELL matrix for the vreg-gather kernel (scalar
+    expansion: the segment planner handles the blocked pattern natively)."""
+    Ae = ell_from_scipy(A.to_scipy(), dtype=np.asarray(A.bdata).dtype)
+    return _build_segmented(
+        Ae, WindowedBSR, dict(block=A.block), tile, min_width, m, min_window
+    )
+
+
+def _build_segmented(A, cls, extra_meta, tile, min_width, m, min_window):
     n, _ = A.shape
-    k = A.k
-    Tr = int(tile)
+    Tr = _round_up(max(int(tile), 128), 128)
     data = np.asarray(A.data)
     cols = np.asarray(A.cols, dtype=np.int64)
+    k = cols.shape[1] if cols.ndim == 2 else 0
     n_pad = _round_up(max(n, 1), Tr)
     nt = n_pad // Tr
-    # per-row extents; padding rows (>= n) follow their tile's start
-    row_min = cols.min(axis=1) if k else np.zeros(n, np.int64)
-    row_max = cols.max(axis=1) + 1 if k else np.ones(n, np.int64)
-    mincol = np.full(nt, 0, np.int64)
-    maxcol = np.full(nt, 1, np.int64)
+
+    offs, near, seg, valid = _plan_segments(data, cols, n)
+    smax = max(len(offs), 1)
+
+    # per-tile window extents over NEAR entries only (the tail needs no
+    # window); rows without near entries anchor at their own column
+    cmask = np.where(near, cols, np.int64(2**40))
+    cmask_max = np.where(near, cols, np.int64(-1))
+    row_min = cmask.min(axis=1) if k else np.full(n, np.int64(2**40))
+    row_max = cmask_max.max(axis=1) + 1 if k else np.zeros(n, np.int64)
+    row_min = np.minimum(row_min, np.arange(n))
+    row_max = np.maximum(row_max, np.arange(n) + 1)
+    mincol = np.zeros(nt, np.int64)
+    maxcol = np.ones(nt, np.int64)
     for t in range(nt):
         lo, hi = t * Tr, min((t + 1) * Tr, n)
         if lo < n:
             mincol[t] = row_min[lo:hi].min()
             maxcol[t] = row_max[lo:hi].max()
-    starts, W, width_needed = _plan_windows(mincol, maxcol, n, Tr, 128, _w_cap(m))
-    n_pad = _round_up(max(n_pad, width_needed, int(min_width)), Tr)
-    nt = n_pad // Tr
-    starts = np.concatenate([starts, np.zeros(nt - len(starts), np.int32)])
-    starts = np.minimum(starts, n_pad - W).astype(np.int32)
+        else:
+            mincol[t], maxcol[t] = t * Tr, t * Tr + 1
 
-    data_t = np.zeros((k, n_pad), data.dtype)
-    cols_rel = np.zeros((k, n_pad), np.int32)
-    data_t[:, :n] = data.T
-    tile_of = np.arange(n) // Tr
-    rel = cols - starts[tile_of][:, None]
-    if rel.size and (rel.min() < 0 or rel.max() >= W):
-        raise AssertionError("window planning failed to cover all columns")
-    cols_rel[:, :n] = rel.T
-    return WindowedELL(
-        data=jnp.asarray(data_t),
-        cols_rel=jnp.asarray(cols_rel),
-        starts=jnp.asarray(starts),
-        shape=A.shape,
-        tile=Tr,
-        window=W,
-        nnz=A.nnz,
-    )
-
-
-def windowed_from_bsr(
-    A: BSRMatrix, tile: int = 2048, min_width: int = 0, m: int = 8
-) -> WindowedBSR:
-    """Rearrange a block-ELL matrix for the gather kernel."""
-    br, bc = A.block
-    n = A.shape[0]
-    nbr, k = A.bcols.shape
-    # scalar tile Tr = Trb * br must be a multiple of 128
-    Trb = max(128, (int(tile) // (128 * br)) * 128)
-    Tr = Trb * br
-    bdata = np.asarray(A.bdata)
-    bcols = np.asarray(A.bcols, dtype=np.int64)
-    nbr_pad = _round_up(max(nbr, 1), Trb)
-    nt = nbr_pad // Trb
-    row_min = bcols.min(axis=1) * bc if k else np.zeros(nbr, np.int64)
-    row_max = (bcols.max(axis=1) + 1) * bc if k else np.ones(nbr, np.int64)
-    mincol = np.full(nt, 0, np.int64)
-    maxcol = np.full(nt, 1, np.int64)
-    for t in range(nt):
-        lo, hi = t * Trb, min((t + 1) * Trb, nbr)
-        if lo < nbr:
-            mincol[t] = row_min[lo:hi].min()
-            maxcol[t] = row_max[lo:hi].max()
     starts, W, width_needed = _plan_windows(
-        mincol, maxcol, n, Tr, 128 * bc, _w_cap(m)
+        mincol, maxcol, Tr, _w_cap(m, smax, Tr)
     )
-    # the end-of-array clamp below floors starts to 128*bc AFTER clamping,
-    # which can shift a window left by up to 128*bc-1; widen W to keep the
-    # right edge covered
-    W += 128 * bc
-    width_needed += 128 * bc
-    nbr_pad = _round_up(
-        max(nbr_pad, -(-width_needed // br), -(-int(min_width) // br)), Trb
+    W = max(W, _round_up(max(int(min_window), 1), Tr))
+    width = _round_up(max(n_pad, width_needed, int(min_width)), W)
+    nt = width // Tr
+    starts = np.concatenate(
+        [starts, (np.arange(len(starts), nt) * Tr).astype(np.int32)]
     )
-    nt = nbr_pad // Trb
-    starts = np.concatenate([starts, np.zeros(nt - len(starts), np.int32)])
-    starts = np.minimum(starts, nbr_pad * br - W)
-    starts = (starts // (128 * bc)) * (128 * bc)
-    starts = np.maximum(starts, 0).astype(np.int32)
 
-    planes = np.zeros((br * bc * k, nbr_pad), bdata.dtype)
-    for a in range(br):
-        for u in range(bc):
-            planes[(a * bc + u) * k : (a * bc + u + 1) * k, :nbr] = (
-                bdata[:, :, a, u].T
-            )
-    bcols_rel = np.zeros((k, nbr_pad), np.int32)
-    tile_of = np.arange(nbr) // Trb
-    rel = bcols - (starts[tile_of][:, None] // bc)
-    if rel.size and (rel.min() < 0 or (rel.max() + 1) * bc > W):
-        raise AssertionError("window planning failed to cover all block columns")
-    bcols_rel[:, :nbr] = rel.T
-    return WindowedBSR(
-        planes=jnp.asarray(planes),
-        bcols_rel=jnp.asarray(bcols_rel),
+    data_seg = np.zeros((smax, width), data.dtype)
+    lanes = np.zeros((smax, width), np.int32)
+    ri, ki = np.nonzero(near)
+    data_seg[seg[ri, ki], ri] = data[ri, ki]
+    lanes[seg[ri, ki], ri] = (cols[ri, ki] % 128).astype(np.int32)
+
+    # COO tail, padded to a lane multiple with no-op entries
+    fr, fk = np.nonzero(valid & ~near)
+    far_nnz = len(fr)
+    nfar_pad = _round_up(max(far_nnz, 1), 128) if far_nnz else 1
+    far_rows = np.zeros(nfar_pad, np.int32)
+    far_cols = np.zeros(nfar_pad, np.int32)
+    far_vals = np.zeros(nfar_pad, data.dtype)
+    far_rows[:far_nnz] = fr
+    far_cols[:far_nnz] = cols[fr, fk]
+    far_vals[:far_nnz] = data[fr, fk]
+
+    return cls(
+        data=jnp.asarray(data_seg),
+        lanes=jnp.asarray(lanes),
         starts=jnp.asarray(starts),
+        far_rows=jnp.asarray(far_rows),
+        far_cols=jnp.asarray(far_cols),
+        far_vals=jnp.asarray(far_vals),
+        offs=tuple(offs),
         shape=A.shape,
-        block=A.block,
         tile=Tr,
-        window=W,
+        window=int(W),
         nnz=A.nnz,
+        far_nnz=far_nnz,
+        **extra_meta,
     )
 
 
@@ -370,46 +415,39 @@ class WindowedLayout:
         return jax.lax.dynamic_update_slice(out, v, (0,))
 
 
-def _lcm(a: int, b: int) -> int:
-    import math
-
-    return a * b // math.gcd(a, b)
-
-
 def make_windowed_operands(A, B=None, tile: int = 2048, m: int = 8):
     """(A_int, B_int, WindowedLayout) for general-sparsity operand pairs.
 
     Accepts ELL/BSR/DIA in any combination (DIA members are converted to
     ELL on the host); both operands are padded to a COMMON width on a
     COMMON scalar tile so multivectors flow through either SpMM without
-    re-marshalling. ``m``: widest multivector the kernel will stream
-    (bounds the VMEM window). Raises ValueError when a window would
-    overflow VMEM (callers fall back to the plain XLA formulations)."""
+    re-marshalling (each keeps its own slab width W; the common width is a
+    multiple of both). ``m``: widest multivector the kernel will stream
+    (bounds the VMEM window). Raises ValueError when a window or segment
+    plan would overflow VMEM (callers fall back to the XLA formulations)."""
     from dune_eigensolver_tpu.sparse.formats import DIAMatrix
 
-    def block_rows(M):
-        return M.block[0] if isinstance(M, BSRMatrix) else 1
+    Tr = _round_up(max(int(tile), 128), 128)
 
-    ops = [A] + ([B] if B is not None else [])
-    base = 128
-    for M in ops:
-        base = _lcm(base, 128 * block_rows(M))
-    Tr = max(base, (int(tile) // base) * base)
-
-    def build(M, min_width=0):
+    def build(M, min_width=0, min_window=0):
         if isinstance(M, DIAMatrix):
             M = ell_from_scipy(M.to_scipy(), dtype=np.asarray(M.data).dtype)
-        if isinstance(M, ELLMatrix):
-            return windowed_from_ell(M, tile=Tr, min_width=min_width, m=m)
         if isinstance(M, BSRMatrix):
-            return windowed_from_bsr(M, tile=Tr, min_width=min_width, m=m)
+            return windowed_from_bsr(M, tile=Tr, min_width=min_width, m=m,
+                                     min_window=min_window)
+        if isinstance(M, ELLMatrix):
+            return windowed_from_ell(M, tile=Tr, min_width=min_width, m=m,
+                                     min_window=min_window)
         raise TypeError(f"make_windowed_operands: unsupported {type(M)}")
 
     A_int = build(A)
     if B is None:
         return A_int, None, WindowedLayout(A.shape[0], A_int.width)
     B_int = build(B)
-    wmax = max(A_int.width, B_int.width)
+    # common width must be a multiple of both slab widths (both are
+    # multiples of Tr, so the lcm stays moderate)
+    Wl = (A_int.window * B_int.window) // math.gcd(A_int.window, B_int.window)
+    wmax = _round_up(max(A_int.width, B_int.width), Wl)
     if A_int.width != wmax:
         A_int = build(A, min_width=wmax)
     if B_int.width != wmax:
@@ -423,52 +461,35 @@ def make_windowed_operands(A, B=None, tile: int = 2048, m: int = 8):
 # ---------------------------------------------------------------------------
 
 
-def _gather_kernel(
-    br, bc, k, Tr, Trb, W, mpad,
-    starts_ref, data_ref, cols_ref, xlo_ref, xhi_ref, *rest,
+def _seg_kernel(
+    offs, smax, Tr, W, nbw, mpad, acc_dt,
+    starts_ref, data_ref, lanes_ref, xlo_ref, xhi_ref, *rest,
 ):
-    # rest = (dead_ref?, out_ref): dead_ref is the donated output buffer
-    # passed as a dummy input (see windowed_spmm_t out_buf) — never read.
-    out_ref = rest[-1]
-    # The tile's X window [starts[t], starts[t]+W) straddles at most two
-    # W-aligned blocks; both arrive through ordinary auto-pipelined blocked
-    # inputs (index maps starts[t]//W and +1) and one dynamic lane-slice
-    # extracts the window. No manual cross-grid-step DMA: on v5e hardware
-    # async copies started in one grid step and waited in the next are not
-    # reliably supported (silent corruption / backend errors — see
-    # dia_spmm.py, same finding).
+    # rest = (dead_ref?, out_ref, scratch): dead_ref is the donated output
+    # buffer passed as a dummy input (see windowed_spmm_t out_buf) — never
+    # read. scratch is the (2*nbw, mpad, 128) X staging buffer.
+    out_ref, scr = rest[-2], rest[-1]
     t = pl.program_id(0)
-    s = starts_ref[t]
-    off = s - (s // W) * W  # in [0, W)
-    pair = jnp.concatenate([xlo_ref[...], xhi_ref[...]], axis=1)
-    # start indices must share off's dtype: a Python-int 0 promotes to int64
-    # under x64 and dynamic_slice rejects mixed index dtypes at trace time
-    win = jax.lax.dynamic_slice(
-        pair, (jnp.zeros((), off.dtype), off), (mpad, W)
-    )  # (mpad, W)
-
-    zpad = jnp.zeros((1, W - Trb), jnp.int32)
-    accs = [jnp.zeros((mpad, Trb), jnp.float32) for _ in range(br)]
-    for j in range(k):
-        rel = cols_ref[j : j + 1, :]  # (1, Trb) block-relative
-        for u in range(bc):
-            idx = jnp.concatenate([rel * bc + u, zpad], axis=1)  # (1, W)
-            g = jnp.take_along_axis(
-                win, jnp.broadcast_to(idx, (mpad, W)), axis=1
-            )[:, :Trb]
-            gf = g.astype(jnp.float32)
-            for a in range(br):
-                coeff = data_ref[(a * bc + u) * k + j][None, :]
-                accs[a] = accs[a] + coeff.astype(jnp.float32) * gf
-    if br == 1:
-        out_ref[:] = accs[0].astype(out_ref.dtype)
-    else:
-        planes = jnp.concatenate(accs, axis=1)  # (mpad, br*Trb) planar
-        c = jax.lax.broadcasted_iota(jnp.int32, (mpad, br * Trb), 1)
-        perm = (c % br) * Trb + c // br  # interleave: out[:, i*br+a]
-        out_ref[:] = jnp.take_along_axis(planes, perm, axis=1).astype(
-            out_ref.dtype
-        )
+    # stage the two W-slabs as 128-lane blocks: dynamic_gather sources are
+    # single vregs, and the per-segment block select is a dynamic load on
+    # the scratch's leading dim (probed OK on v5e)
+    for b in range(nbw):
+        scr[b] = xlo_ref[:, 128 * b : 128 * (b + 1)]
+        scr[nbw + b] = xhi_ref[:, 128 * b : 128 * (b + 1)]
+    Pblk = (starts_ref[t] // W) * nbw  # pair base, in 128-blocks
+    ng = Tr // 128
+    for g in range(ng):
+        q0 = t * ng + g - Pblk  # this subgroup's own 128-block, pair-rel
+        acc = jnp.zeros((mpad, 128), acc_dt)
+        lanes_g = lanes_ref[:, 128 * g : 128 * (g + 1)]  # (smax, 128)
+        data_g = data_ref[:, 128 * g : 128 * (g + 1)]
+        for s in range(smax):
+            q = jnp.clip(q0 + offs[s], 0, 2 * nbw - 1)
+            xs = scr[q]  # (mpad, 128) — dynamic leading-dim load
+            idx = jnp.broadcast_to(lanes_g[s : s + 1], (mpad, 128))
+            g_s = jnp.take_along_axis(xs, idx, axis=1)
+            acc = acc + data_g[s : s + 1].astype(acc_dt) * g_s.astype(acc_dt)
+        out_ref[:, 128 * g : 128 * (g + 1)] = acc.astype(out_ref.dtype)
 
 
 def windowed_spmm_t(
@@ -490,19 +511,10 @@ def windowed_spmm_t(
     donated operand enters the kernel as a dummy input with a minimal
     (8, 128) block pinned to the origin, so the extra DMA traffic is
     negligible; its ref is never read."""
-    if isinstance(A, WindowedELL):
-        br = bc = 1
-        k = A.data.shape[0]
-        coeffs, cols = A.data, A.cols_rel
-        Trb = A.tile
-    elif isinstance(A, WindowedBSR):
-        br, bc = A.block
-        k = A.k
-        coeffs, cols = A.planes, A.bcols_rel
-        Trb = A.tile // br
-    else:
+    if not isinstance(A, WindowedELL):
         raise TypeError(f"windowed_spmm_t: unsupported operand {type(A)}")
     Tr, W = A.tile, A.window
+    smax = A.data.shape[0]
     mpad, width = Xp.shape
     if width != A.width:
         raise ValueError(
@@ -510,23 +522,24 @@ def windowed_spmm_t(
         )
     if mpad % 8 != 0:
         raise ValueError(f"windowed_spmm_t: m={mpad} not a multiple of 8")
-    nt = width // Tr
+    nbw = W // 128
+    nbW = width // W  # full slab count (width is a multiple of W)
+    acc_dt = jnp.float32 if Xp.dtype == jnp.float32 else Xp.dtype
 
     kernel = functools.partial(
-        _gather_kernel, br, bc, k, Tr, Trb, W, mpad
+        _seg_kernel, A.offs, smax, Tr, W, nbw, mpad, acc_dt
     )
-    nbW = -(-width // W)  # W-aligned block count (last may be partial)
 
     in_specs = [
-        pl.BlockSpec((coeffs.shape[0], Trb), lambda t, s: (0, t)),
-        pl.BlockSpec((k, Trb), lambda t, s: (0, t)),
+        pl.BlockSpec((smax, Tr), lambda t, s: (0, t)),
+        pl.BlockSpec((smax, Tr), lambda t, s: (0, t)),
         pl.BlockSpec((mpad, W), lambda t, s: (0, s[t] // W)),
         pl.BlockSpec(
             (mpad, W),
             lambda t, s: (0, jnp.minimum(s[t] // W + 1, nbW - 1)),
         ),
     ]
-    operands = [A.starts, coeffs, cols, Xp, Xp]
+    operands = [A.starts, A.data, A.lanes, Xp, Xp]
     io_alias = {}
     if out_buf is not None:
         if out_buf.shape != (mpad, width) or out_buf.dtype != Xp.dtype:
@@ -538,25 +551,32 @@ def windowed_spmm_t(
             pl.BlockSpec((min(mpad, 8), 128), lambda t, s: (0, 0))
         )
         operands.append(out_buf)
-        io_alias = {5: 0}  # (starts, coeffs, cols, xlo, xhi, out_buf)
+        io_alias = {5: 0}  # (starts, data, lanes, xlo, xhi, out_buf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nt,),
+        grid=(width // Tr,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((mpad, Tr), lambda t, s: (0, t)),
+        scratch_shapes=[pltpu.VMEM((2 * nbw, mpad, 128), Xp.dtype)],
     )
     flops = 2 * A.nnz * mpad
-    return pl.pallas_call(
+    Yp = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((mpad, width), Xp.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(
-                coeffs.size + cols.size + 3 * mpad * width
+                A.data.size + A.lanes.size + 3 * mpad * width
             ) * Xp.dtype.itemsize,
             transcendentals=0,
         ),
         input_output_aliases=io_alias,
         interpret=interpret,
     )(*operands)
+    if A.far_nnz:
+        # COO tail: gather the source columns, scatter-add into the rows.
+        # Pad entries carry zero values and valid indices, so they add 0.
+        contrib = A.far_vals[None, :] * Xp[:, A.far_cols]
+        Yp = Yp.at[:, A.far_rows].add(contrib)
+    return Yp

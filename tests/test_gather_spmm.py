@@ -126,9 +126,11 @@ def test_make_windowed_operands_width_match():
     assert A2.width == B2.width == L2.width
 
 
-def test_window_overflow_raises():
-    # a dense-ish random pattern (no RCM) has unbounded tile support
-    n = 100_000
+def test_hybrid_tail_and_window_overflow():
+    # a dense-ish random pattern (no RCM) has unbounded tile support: the
+    # hybrid planner must route its entries through the COO tail (no
+    # window blow-up) and stay exact
+    n = 30_000
     g = np.random.default_rng(9)
     nnz = 2 * n
     S = sp.coo_matrix(
@@ -137,8 +139,18 @@ def test_window_overflow_raises():
     ).tocsr()
     S = S + S.T + sp.eye(n)
     A = ell_from_scipy(S, dtype=np.float32)
+    W = windowed_from_ell(A, tile=512)
+    assert W.far_nnz > A.nnz // 2  # random long-range entries ride the tail
+    assert W.window < 16 * 1024  # kept slots keep the window VMEM-sized
+    Xt = jnp.asarray(g.normal(size=(8, n)).astype(np.float32))
+    Xp = jnp.pad(Xt, ((0, 0), (0, W.width - n)))
+    Y = np.asarray(windowed_spmm_t(W, Xp, interpret=True))
+    Yref = np.asarray(ell_spmm_t(A, Xt))
+    assert np.abs(Y[:, :n] - Yref).max() < 1e-3
+    # the VMEM window cap still raises (for the XLA fallback) when the
+    # NEAR support cannot fit at the requested multivector width
     with pytest.raises(ValueError, match="window"):
-        windowed_from_ell(A, tile=512)
+        windowed_from_ell(A, tile=512, m=4096)
 
 
 def test_generalized_inverse_elasticity_bsr_vs_oracle():
