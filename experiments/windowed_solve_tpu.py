@@ -1,0 +1,89 @@
+"""TPU experiment: end-to-end eigensolves on NON-STENCIL operands through
+the segmented vreg-gather engine (kernels/gather_spmm.py) on real hardware.
+
+The CPU suite proves these paths in interpret mode
+(tests/test_gather_spmm.py); this records hardware numbers:
+
+  * clamped-plate 2D elasticity pencil (BSR 2x2) — generalized_inverse
+    with the RCM-banded direct inverse, vs the scipy shift-invert oracle
+  * unstructured graph Laplacian (ELL after RCM) — preconditioned LOBPCG
+
+    python experiments/windowed_solve_tpu.py [Nel] [nun]
+
+Greppable WINDOWED_SOLVE lines; hard exit (tunnel teardown can hang).
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import scipy.sparse as sp
+
+from dune_eigensolver_tpu.factorize import cg_inverse_factory
+from dune_eigensolver_tpu.oracle.scipy_oracle import (
+    smallest_generalized,
+    smallest_standard,
+)
+from dune_eigensolver_tpu.solvers import generalized_inverse, lobpcg_generalized
+from dune_eigensolver_tpu.sparse import problems
+from dune_eigensolver_tpu.sparse.formats import ell_from_scipy
+from dune_eigensolver_tpu.sparse.reorder import rcm_pencil
+
+
+def run(name, fn, ref):
+    t0 = time.perf_counter()
+    res = fn()
+    ev = np.asarray(res.eigenvalues)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = fn()
+    ev = np.asarray(res.eigenvalues)
+    t_solve = time.perf_counter() - t0
+    nref = len(ref)
+    err = float(np.abs(ev[:nref] - ref).max() / np.abs(ref).max())
+    print(
+        f"WINDOWED_SOLVE {name} iters={int(res.iterations)} "
+        f"compile+first={t_first:.1f}s solve={t_solve:.2f}s "
+        f"relerr={err:.2e} conv={bool(res.converged)}",
+        flush=True,
+    )
+
+
+def main():
+    Nel = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    nun = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    dev = jax.devices()[0]
+    print(f"device={dev.device_kind}", flush=True)
+
+    A, B = problems.elasticity_2d(Nel, dtype=np.float32)
+    print(f"elasticity: n={A.shape[0]} nnz={A.nnz}", flush=True)
+    ref, _ = smallest_generalized(A, B, nev=4, sigma=-1e-3, tol=1e-10)
+    run(
+        f"elasticity_bsr n={A.shape[0]}",
+        lambda: generalized_inverse(A, B, nev=4, tol=2e-3, maxiter=300,
+                                    shift=1e-3),
+        ref,
+    )
+
+    S = problems.unstructured_laplacian(nun, extra_edges=nun // 20, seed=5,
+                                        fmt="scipy")
+    Au, _, _ = rcm_pencil(S, dtype=np.float32)
+    Bu = ell_from_scipy(sp.eye(nun), dtype=np.float32)
+    print(f"unstructured: n={nun} nnz={Au.nnz}", flush=True)
+    ref, _ = smallest_standard(S, nev=4, sigma=-1e-3, tol=1e-10)
+    run(
+        f"unstructured_ell n={nun}",
+        lambda: lobpcg_generalized(
+            Au, Bu, nev=4, tol=2e-3, maxiter=300, shift=1e-3,
+            precond=cg_inverse_factory(rtol=1e-2, maxiter=25),
+        ),
+        ref,
+    )
+    print("done", flush=True)
+    os._exit(0)
+
+
+if __name__ == "__main__":
+    main()
