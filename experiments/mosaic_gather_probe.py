@@ -171,6 +171,57 @@ def gather_sublane_axis():
     return np.asarray(out) == np.asarray(jnp.take_along_axis(x, idx, axis=0))
 
 
+# 9. scalar read from a VMEM int32 block input, used as a dynamic index
+def vmem_scalar_index():
+    nb = 4
+
+    def kern(x_ref, b_ref, o_ref):
+        q = b_ref[1, 2]  # scalar read from VMEM
+        o_ref[:] = x_ref[q]
+
+    x = jnp.arange(nb * 8 * 128, dtype=jnp.float32).reshape(nb, 8, 128)
+    bases = jnp.broadcast_to(jnp.arange(8, dtype=jnp.int32), (8, 8)).T % nb
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((nb, 8, 128), lambda: (0, 0, 0)),
+            pl.BlockSpec((8, 8), lambda: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, 128), lambda: (0, 0)),
+    )(x, bases)
+    return np.asarray(out) == np.asarray(x[1])
+
+
+# 10. int8 coefficient block widened in-kernel
+def int8_widen():
+    def kern(x_ref, i_ref, o_ref):
+        o_ref[:] = x_ref[...] + i_ref[...].astype(jnp.float32)
+
+    x = jnp.ones((8, 128), jnp.float32)
+    i8 = (jnp.arange(8 * 128, dtype=jnp.int32) % 128).astype(jnp.int8)
+    i8 = i8.reshape(8, 128)
+    out = pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)
+    )(x, i8)
+    return np.asarray(out) == 1.0 + np.asarray(i8, np.float32)
+
+
+# 11. int8 lanes as gather indices (widened then gathered)
+def int8_gather_idx():
+    def kern(x_ref, i_ref, o_ref):
+        idx = i_ref[...].astype(jnp.int32)
+        o_ref[:] = jnp.take_along_axis(x_ref[...], idx, axis=1)
+
+    x = jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128)
+    idx8 = np.flip(np.arange(128, dtype=np.int8) - 128)  # int8 range abuse?
+    idx8 = np.broadcast_to(np.flip(np.arange(128)).astype(np.int8), (8, 128))
+    out = pl.pallas_call(
+        kern, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32)
+    )(x, jnp.asarray(idx8))
+    return np.asarray(out) == np.asarray(x)[:, ::-1]
+
+
 def main():
     d = jax.devices()[0]
     print(f"device={d.device_kind} platform={d.platform}", flush=True)
@@ -182,6 +233,9 @@ def main():
     probe("dyn_roll_lane", dyn_roll)
     probe("gather_2lane_8x256", gather_2lane)
     probe("gather_sublane_axis0", gather_sublane_axis)
+    probe("vmem_scalar_index", vmem_scalar_index)
+    probe("int8_widen", int8_widen)
+    probe("int8_gather_idx", int8_gather_idx)
     print("probe done", flush=True)
     import os
 
