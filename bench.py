@@ -132,6 +132,19 @@ def main():
         primary["north_star_3d_measured"] = ns.get("stamp", "prior run")
     except Exception:
         pass
+    # General-sparsity (windowed-gather) kernel capture, same persist-and-
+    # embed pattern: the reference's native CSR/BCRS operand class
+    # (kernels_cpp.hh:626-657) measured on the elasticity BSR operator.
+    ga_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "GATHER.json")
+    try:
+        with open(ga_path) as fh:
+            ga = json.load(fh)
+        primary["gather_spmm_gflops"] = ga["gflops"]
+        primary["gather_spmm_vs_xla"] = ga["vs_xla"]
+        primary["gather_spmm_measured"] = ga.get("stamp", "prior run")
+    except Exception:
+        pass
     print(json.dumps(primary), flush=True)
 
     # --- auxiliary: flagship solver time-to-eigenpairs ---
@@ -188,26 +201,77 @@ def main():
         except Exception as e:  # aux must not break the primary line
             log(f"solver aux bench failed: {e!r}")
 
-        # --- north star: smallest-20 of the 10M-dof 3D Laplacian on one
-        # chip (experiments/eigen3d_10m.py protocol: N=216, Chebyshev
-        # preconditioner, LOBPCG on the reciprocal pencil) ---
+        # --- general-sparsity windowed-gather kernel on the elasticity
+        # BSR operator (the reference's native CSR/BCRS operand class,
+        # kernels_cpp.hh:626-657); persisted to GATHER.json and embedded
+        # in the NEXT run's primary line ---
         try:
-            from dune_eigensolver_tpu.factorize import chebyshev_inverse_factory
+            from dune_eigensolver_tpu.kernels.gather_spmm import (
+                make_windowed_operands,
+            )
+            from dune_eigensolver_tpu.sparse.formats import bsr_from_scipy
+            from dune_eigensolver_tpu.sparse.spmm import spmm_t
+
+            Ae, _ = problems.elasticity_2d(512, dtype=dtype)
+            Sa = Ae.to_scipy()
+            Sa = Sa / float(np.abs(Sa).sum(axis=1).max())  # bounded chains
+            Ae = bsr_from_scipy(Sa, block=Ae.block, dtype=dtype)
+            M_int, _, Lw = make_windowed_operands(Ae, m=m)
+            Xw = Lw.pad(
+                jax.random.normal(jax.random.PRNGKey(1), (m, Ae.shape[0]), dtype)
+            )
+            t_win = bench_loop(
+                lambda V, op: spmm_t(op, V), Xw, K=20, reps=2, op_args=(M_int,)
+            )
+            t_gx = bench_loop(
+                lambda V, op: spmm_t(op, V), Xw[:, : Ae.shape[0]], K=20,
+                reps=2, op_args=(Ae,),
+            )
+            gflops_w = 2.0 * m * Ae.nnz / t_win / 1e9
+            log(
+                f"gather_spmm[bsr_win]: n={Ae.shape[0]} nnz={Ae.nnz} m={m} "
+                f"{gflops_w:.1f} GFLOP/s ({t_win*1e6:.0f}us; xla gather "
+                f"{t_gx*1e6:.0f}us -> {t_gx/t_win:.1f}x)"
+            )
+            with open(ga_path, "w") as fh:
+                json.dump(
+                    {
+                        "gflops": round(gflops_w, 2),
+                        "vs_xla": round(t_gx / t_win, 1),
+                        "n": Ae.shape[0],
+                        "nnz": int(Ae.nnz),
+                        "stamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+                    },
+                    fh,
+                )
+                fh.write("\n")
+        except Exception as e:
+            log(f"gather aux bench failed: {e!r}")
+
+        # --- north star: smallest-20 of the 10M-dof 3D Laplacian on one
+        # chip (experiments/eigen3d_10m.py protocol: N=216, LOBPCG on the
+        # reciprocal pencil). Recipe from the r3 sweep
+        # (experiments/ns_sweep.py): loose-CG(25) preconditioner with
+        # nev=24 guard block — 23s vs 43s for the default Chebyshev at
+        # nev=20 (chebcg7 39s, cg15 30s; nev=32 exhausts HBM). Error is
+        # still reported on the smallest 20 vs the analytic spectrum. ---
+        try:
+            from dune_eigensolver_tpu.factorize import cg_inverse_factory
             from dune_eigensolver_tpu.oracle.analytic import (
                 eigenvalues_laplace_dirichlet_3d,
             )
             from dune_eigensolver_tpu.solvers import lobpcg_generalized
 
-            N3, nev3 = 216, 20
+            N3, nev3, nguard3 = 216, 20, 24
             A3 = problems.laplacian_dirichlet_3d(N3, dtype=dtype)
             n3 = A3.shape[0]
             B3 = DIAMatrix(
                 data=jnp.ones((1, n3), dtype), offsets=(0,), shape=A3.shape
             )
             _ = np.asarray(jnp.ravel(A3.data)[0])  # finish the device build
-            prec = chebyshev_inverse_factory()
+            prec = cg_inverse_factory(rtol=1e-2, maxiter=25)
             run = lambda: lobpcg_generalized(  # noqa: E731
-                A3, B3, nev=nev3, tol=2e-3, maxiter=300, shift=0.0,
+                A3, B3, nev=nguard3, tol=2e-3, maxiter=300, shift=0.0,
                 precond=prec, min_iter=3,
             )
             res = run()  # includes remote compile
@@ -217,7 +281,10 @@ def main():
             _ = np.asarray(res.eigenvalues)
             t_ns = time.perf_counter() - t0
             err3 = float(
-                np.abs(ev3[:nev3] - eigenvalues_laplace_dirichlet_3d(N3, count=nev3)).max()
+                np.abs(
+                    np.sort(ev3)[:nev3]
+                    - eigenvalues_laplace_dirichlet_3d(N3, count=nev3)
+                ).max()
             )
             log(
                 f"NORTH_STAR_3D: n={n3} nev={nev3} seconds={t_ns:.2f} "
@@ -241,7 +308,7 @@ def main():
 
     th = threading.Thread(target=aux, daemon=True)
     th.start()
-    th.join(timeout=1500)
+    th.join(timeout=2100)
     if th.is_alive():
         log("solver aux bench timed out (tunnel hang); exiting with primary metric")
         os._exit(0)

@@ -281,6 +281,7 @@ def eigenvalues_test(ptree) -> dict:
     nev = int(ptree["ev.m"])
     block = int(ptree["ev.block"])
     m = -(-nev // block) * block
+    extra: dict = {}
     A, B = _problem_pair(ptree)
 
     if method in ("raes", "tpu"):
@@ -340,6 +341,32 @@ def eigenvalues_test(ptree) -> dict:
         )
         ev = np.asarray(res.eigenvalues)
         iters = int(res.iterations)
+    elif method == "adaptive":
+        # GenEO coarse-space selection (arpack_geneo_wrapper.hh:661-774):
+        # grow nev by ev.growth until lambda_max >= ev.threshold.
+        from dune_eigensolver_tpu.solvers import generalized_inverse_adaptive
+
+        (res, n_below), t = _timed(
+            lambda: generalized_inverse_adaptive(
+                A,
+                B,
+                threshold=float(ptree["ev.threshold"]),
+                nev=m,
+                tol=float(ptree["ev.tol"]),
+                maxiter=int(ptree["ev.maxiter"]),
+                shift=float(ptree["ev.shift"]),
+                reg=float(ptree["ev.regularization"]),
+                growth=float(ptree["ev.growth"]),
+                block=block,
+                seed=int(ptree["ev.seed"]),
+                verbose=int(ptree["ev.verbose"]),
+            )
+        )
+        ev = np.asarray(res.eigenvalues)
+        iters = int(res.iterations)
+        m = ev.size  # final (possibly grown) block; RESULT line reports it
+        extra = dict(n_below=n_below)
+        _log(ptree, 1, f"  adaptive: m_final={ev.size} n_below={n_below}")
     elif method == "arpack":
         from dune_eigensolver_tpu.oracle.scipy_oracle import smallest_generalized
 
@@ -358,7 +385,7 @@ def eigenvalues_test(ptree) -> dict:
         f"iters={iters} time={t:.3f}s",
         flush=True,
     )
-    return dict(time=t, iterations=iters, eigenvalues=np.sort(ev)[:m])
+    return dict(time=t, iterations=iters, eigenvalues=np.sort(ev)[:m], **extra)
 
 
 # ---------------------------------------------------------------------------

@@ -28,7 +28,8 @@ DEFAULTS: Dict[str, Dict[str, Any]] = {
         "shift": 1e-3,
         "regularization": 0.0,
         "tol": 2e-3,
-        "threshold": 0.0,
+        "threshold": 0.0,  # adaptive GenEO coverage threshold (0 = no growth)
+        "growth": 1.3,  # adaptive nev growth factor (arpack_geneo_wrapper.hh:748)
         "verbose": 0,
         "overlap": 3,
         "method": "raes",

@@ -89,6 +89,28 @@ def test_eigenvalues_test_methods():
     )
 
 
+def test_eigenvalues_test_adaptive():
+    """ev.method=adaptive: GenEO coarse-space growth through the CLI
+    (reference adaptive routine arpack_geneo_wrapper.hh:661-774)."""
+    from dune_eigensolver_tpu.cli import eigenvalues_test
+
+    # oracle run to place a threshold above the 10th eigenvalue so the
+    # initial block (m=4 -> padded 8) must grow at least once
+    r0 = eigenvalues_test(_small_ptree(**{"ev.method": "arpack", "ev.m": 16}))
+    lam = np.sort(r0["eigenvalues"])
+    thr = float((lam[9] + lam[10]) / 2)
+
+    r = eigenvalues_test(
+        _small_ptree(**{"ev.method": "adaptive", "ev.threshold": thr})
+    )
+    ev = np.sort(r["eigenvalues"])
+    assert ev.size > 8, "adaptive never grew past the initial padded block"
+    # >= 9 not 10: the iterate's lambda near the threshold can land a
+    # tol-sized hair above it (clustered pairs at this N)
+    assert r["n_below"] >= 9
+    np.testing.assert_allclose(ev[:8], lam[:8], atol=2e-3)
+
+
 def test_eigenvalues_test_dist():
     from dune_eigensolver_tpu.cli import eigenvalues_test
 

@@ -104,6 +104,27 @@ def test_sharded_lobpcg_matches_oracle():
     assert np.abs(np.asarray(res_s.eigenvalues)[:4] - truth).max() < 2e-3
 
 
+def test_sharded_lobpcg_3d_matches_analytic():
+    """The multi-chip north-star path: sharded LOBPCG on the 3D 7-point
+    Laplacian (the BASELINE.md 10M-dof problem, shrunk) against the
+    closed-form Dirichlet spectrum."""
+    from dune_eigensolver_tpu.dist import sharded_lobpcg_generalized
+    from dune_eigensolver_tpu.oracle.analytic import (
+        eigenvalues_laplace_dirichlet_3d,
+    )
+    from dune_eigensolver_tpu.sparse.formats import DIAMatrix
+
+    N = 8  # n = 512 rows, 128 per shard on 4 devices; halos at +-N^2 = 64
+    A = problems.laplacian_dirichlet_3d(N, dtype=np.float32)
+    n = A.shape[0]
+    B = DIAMatrix(data=jnp.ones((1, n), np.float32), offsets=(0,), shape=A.shape)
+    res = sharded_lobpcg_generalized(
+        A, B, nev=8, tol=1e-7, maxiter=400, shift=0.0, mesh=make_mesh(4)
+    )
+    ana = eigenvalues_laplace_dirichlet_3d(N, count=8)
+    assert np.abs(np.sort(np.asarray(res.eigenvalues))[:8] - ana).max() < 2e-3
+
+
 def test_schwarz_preconditioner_cuts_inner_iterations():
     """The additive-Schwarz inner engine (exact per-shard banded block
     solves preconditioning a global CG) must converge in far fewer
