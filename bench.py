@@ -250,11 +250,14 @@ def main():
 
         # --- north star: smallest-20 of the 10M-dof 3D Laplacian on one
         # chip (experiments/eigen3d_10m.py protocol: N=216, LOBPCG on the
-        # reciprocal pencil). Recipe from the r3 sweep
-        # (experiments/ns_sweep.py): loose-CG(25) preconditioner with
-        # nev=24 guard block — 23s vs 43s for the default Chebyshev at
-        # nev=20 (chebcg7 39s, cg15 30s; nev=32 exhausts HBM). Error is
-        # still reported on the smallest 20 vs the analytic spectrum. ---
+        # reciprocal pencil). Recipe from the r3 sweeps
+        # (experiments/ns_sweep.py): bf16-streamed loose-CG(40)
+        # preconditioner, nev=24 guard block, single-pass CholeskyQR ortho
+        # — 12.2s vs 43.2s for the round-2 default (Chebyshev, nev=20,
+        # QR2). Waypoints: f32 cg25 23.0s, bf16 cg40 16.0s, +QR1 12.2s;
+        # chebcg7 39s, cg15 30s, nev=32 exhausts HBM. QR1 is validated
+        # here: same iteration count as QR2 and err20 4.3e-6 vs analytic.
+        # Error is still reported on the smallest 20. ---
         try:
             from dune_eigensolver_tpu.factorize import cg_inverse_factory
             from dune_eigensolver_tpu.oracle.analytic import (
@@ -269,10 +272,10 @@ def main():
                 data=jnp.ones((1, n3), dtype), offsets=(0,), shape=A3.shape
             )
             _ = np.asarray(jnp.ravel(A3.data)[0])  # finish the device build
-            prec = cg_inverse_factory(rtol=1e-2, maxiter=25)
+            prec = cg_inverse_factory(rtol=1e-2, maxiter=40, dtype=jnp.bfloat16)
             run = lambda: lobpcg_generalized(  # noqa: E731
                 A3, B3, nev=nguard3, tol=2e-3, maxiter=300, shift=0.0,
-                precond=prec, min_iter=3,
+                precond=prec, min_iter=3, ortho_iterations=1,
             )
             res = run()  # includes remote compile
             ev3 = np.asarray(res.eigenvalues)

@@ -82,6 +82,15 @@ def _inverse_factory(ptree):
         from dune_eigensolver_tpu.factorize import cg_inverse_factory
 
         return cg_inverse_factory(rtol=1e-4, maxiter=1000)
+    if kind == "cg16":
+        # bf16-streamed loose CG: preconditioner-grade only (~2 digits) but
+        # half the HBM traffic — the ev.method=lobpcg north-star recipe.
+        # NOT valid for the shift-invert solvers' inner solve.
+        import jax.numpy as jnp
+
+        from dune_eigensolver_tpu.factorize import cg_inverse_factory
+
+        return cg_inverse_factory(rtol=1e-2, maxiter=25, dtype=jnp.bfloat16)
     if kind == "chebcg":
         from dune_eigensolver_tpu.factorize import cheb_cg_inverse_factory
 

@@ -812,6 +812,7 @@ def sharded_lobpcg_generalized(
             float(ortho_eps),
             int(n_pad),
             jnp.dtype(A.dtype),
+            2,  # ortho_iterations: CholeskyQR2
         )
         hooks = (apply_a, apply_b, reduce_, prec_fn)
         B_int = eng.ops[1] if mode == "padded" else None

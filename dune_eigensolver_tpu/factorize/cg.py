@@ -61,8 +61,14 @@ def cg_solve_t(
         def precond(R):
             return R if inv_diag is None else R * inv_diag[None, :]
 
+    acc_dt = jnp.promote_types(B.dtype, jnp.float32)  # bf16 -> f32, f64 stays
+
     def rowdot(U, V):
-        return reduce_(jnp.sum(U * V, axis=1))
+        # accumulate at >= f32 regardless of the streamed dtype: with a
+        # bf16 iterate (dtype= on the factory) a 10M-element bf16 sum would
+        # lose the residual norm entirely; the upcast fuses into the
+        # product read, costing no extra HBM traffic
+        return reduce_(jnp.sum((U * V).astype(acc_dt), axis=1))
 
     X = jnp.zeros_like(B) if x0 is None else x0
     R = B - apply_a(X) if x0 is not None else B
@@ -83,12 +89,14 @@ def cg_solve_t(
         AP = apply_a(P)
         pap = rowdot(P, AP)
         alpha = jnp.where(pap > 0, rz / jnp.where(pap > 0, pap, 1.0), 0.0)
-        X = X + P * alpha[:, None]
-        R = R - AP * alpha[:, None]
+        # step lengths are f32 (rowdot); cast at use so a bf16 iterate
+        # stays bf16 instead of silently promoting every axpy to f32
+        X = X + P * alpha.astype(X.dtype)[:, None]
+        R = R - AP * alpha.astype(X.dtype)[:, None]
         Z = precond(R)
         rz_new = rowdot(R, Z)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0), 0.0)
-        P = Z + P * beta[:, None]
+        P = Z + P * beta.astype(X.dtype)[:, None]
         return X, R, P, rz_new, k + 1
 
     X, R, P, rz, k = lax.while_loop(
@@ -136,6 +144,7 @@ def cg_inverse_factory(
     maxiter: int = 1000,
     gram_reduce: Optional[Callable] = None,
     apply_a: Optional[Callable] = None,
+    dtype=None,
 ):
     """Factory of factories: returns an ``inverse=`` argument for the solvers.
 
@@ -144,6 +153,14 @@ def cg_inverse_factory(
     wrappers hand it the guarded operand and the inner SpMMs run the Pallas
     kernel. ``apply_a`` overrides the operator application (e.g. a sharded
     SpMM closing over local shards inside shard_map; transposed layout).
+
+    ``dtype``: run the ENTIRE inner CG (operand stream, iterate, axpys) in
+    this dtype, casting in/out at the boundary — dots still accumulate in
+    f32 (cg_solve_t). ``jnp.bfloat16`` halves the preconditioner's HBM
+    traffic, which dominates LOBPCG iterations at large n; the returned
+    direction is preconditioner-grade (~2 decimal digits), so use it only
+    where the inverse is applied approximately (LOBPCG precond), never for
+    shift-invert subspace iteration's inexact-but-converging inner solve.
     """
 
     def inverse(A_int):
@@ -166,7 +183,10 @@ def cg_inverse_factory(
         # argument (a closure would serialize it into every compile RPC),
         # and the solve fn is memoized so the solver cores' jit caches
         # (keyed on the fn's identity) hit across factory calls
-        return (A_int, _inv_diag_of(A_int)), _cg_solve_fn(rtol, maxiter, gram_reduce)
+        return (
+            (A_int, _inv_diag_of(A_int)),
+            _cg_solve_fn(rtol, maxiter, gram_reduce, dtype),
+        )
 
     inverse.internal = True
     return inverse
@@ -175,17 +195,40 @@ def cg_inverse_factory(
 _CG_SOLVE_FNS = {}
 
 
-def _cg_solve_fn(rtol, maxiter, gram_reduce):
-    key = (float(rtol), int(maxiter), id(gram_reduce) if gram_reduce else None)
+def _cast_floating(tree, dt):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dt)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
+def _cg_solve_fn(rtol, maxiter, gram_reduce, dtype=None):
+    key = (
+        float(rtol),
+        int(maxiter),
+        id(gram_reduce) if gram_reduce else None,
+        None if dtype is None else jnp.dtype(dtype).name,
+    )
     if key not in _CG_SOLVE_FNS:
 
         def solve_pair(aux, Xt, _rtol=rtol, _maxiter=maxiter, _gr=gram_reduce):
             A_, d_ = aux
+            out_dt = Xt.dtype
+            if dtype is not None:
+                # cast INSIDE jit: aux stays the solver's f32 operand (one
+                # shared buffer); the bf16 copy is one fused pass per solve
+                A_, d_, Xt = (
+                    _cast_floating(A_, dtype),
+                    None if d_ is None else d_.astype(dtype),
+                    Xt.astype(dtype),
+                )
             Y, _ = cg_solve_t(
                 lambda V: spmm_t(A_, V), Xt, inv_diag=d_, rtol=_rtol,
                 maxiter=_maxiter, gram_reduce=_gr,
             )
-            return Y
+            return Y.astype(out_dt)
 
         solve_pair.layout_t = True
         _CG_SOLVE_FNS[key] = solve_pair

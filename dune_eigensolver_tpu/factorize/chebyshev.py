@@ -107,16 +107,23 @@ def chebyshev_apply_t(apply_a, R, lmin, lmax, degree, inv_diag=None):
     sigma1 = theta / delta
     rho0 = 1.0 / sigma1
 
+    # the rho recurrence stays in the scalars' own (f32) precision; cast
+    # only at the array multiply so a bf16 iterate is not silently promoted
+    # back to f32 (which would both break the fori_loop carry dtype and
+    # forfeit the halved HBM traffic the caller asked for)
+    def _c(s):
+        return jnp.asarray(s).astype(R.dtype)
+
     x = jnp.zeros_like(R)
     r = R
-    d = prec(r) / theta
+    d = prec(r) * _c(1.0 / theta)
 
     def body(_, state):
         x, r, d, rho = state
         x = x + d
         r = r - apply_a(d)
         rho_next = 1.0 / (2.0 * sigma1 - rho)
-        d = (rho_next * rho) * d + (2.0 * rho_next / delta) * prec(r)
+        d = _c(rho_next * rho) * d + _c(2.0 * rho_next / delta) * prec(r)
         return x, r, d, rho_next
 
     x, _, _, _ = lax.fori_loop(0, degree, body, (x, r, d, rho0))
@@ -139,6 +146,7 @@ def chebyshev_inverse_factory(
     gram_reduce: Optional[Callable] = None,
     apply_a: Optional[Callable] = None,
     fold=None,
+    dtype=None,
 ):
     """Factory of factories (same contract as ``cg_inverse_factory``):
     ``inverse(A_int)`` yields the Chebyshev approximate inverse of A_int
@@ -152,6 +160,10 @@ def chebyshev_inverse_factory(
     jacobi: scale by D^-1 (recommended; bounds then live on D^-1 A).
     apply_a / gram_reduce: distributed hooks (sharded SpMM / psum,
     transposed layout).
+    dtype: stream the polynomial recurrence in this dtype (casting in/out
+    at the boundary) — ``jnp.bfloat16`` halves the HBM traffic of every
+    SpMM+axpy term; preconditioner-grade, same caveats as
+    ``cg_inverse_factory(dtype=...)``. Single-chip pair path only.
     """
     if not cond_target > 1.0:
         raise ValueError(f"chebyshev: cond_target must be > 1, got {cond_target}")
@@ -188,7 +200,7 @@ def chebyshev_inverse_factory(
         lmax = _estimate_lmax_jit(A_int, inv_diag, int(power_iters)) * lmax_scale
         lmin = lmax / cond_target
         aux = (A_int, inv_diag, lmin, lmax)
-        return aux, _cheb_solve_fn(int(degree), bool(jacobi))
+        return aux, _cheb_solve_fn(int(degree), bool(jacobi), dtype)
 
     inverse.internal = True
     return inverse
@@ -310,15 +322,23 @@ def _cheb_cg_solve_fn(degree, rtol, maxiter):
     return _CHEB_CG_SOLVE_FNS[key]
 
 
-def _cheb_solve_fn(degree, jacobi):
-    key = (degree, jacobi)
+def _cheb_solve_fn(degree, jacobi, dtype=None):
+    key = (degree, jacobi, None if dtype is None else jnp.dtype(dtype).name)
     if key not in _CHEB_SOLVE_FNS:
 
         def solve_pair(aux, Xt, _deg=degree):
             A_, inv_diag, lmin, lmax = aux
-            return chebyshev_apply_t(
+            out_dt = Xt.dtype
+            if dtype is not None:
+                from dune_eigensolver_tpu.factorize.cg import _cast_floating
+
+                A_ = _cast_floating(A_, dtype)
+                inv_diag = None if inv_diag is None else inv_diag.astype(dtype)
+                Xt = Xt.astype(dtype)
+            Y = chebyshev_apply_t(
                 lambda V: spmm_t(A_, V), Xt, lmin, lmax, _deg, inv_diag
             )
+            return Y.astype(out_dt)
 
         solve_pair.layout_t = True
         _CHEB_SOLVE_FNS[key] = solve_pair

@@ -1,4 +1,8 @@
 from dune_eigensolver_tpu.solvers.adaptive import generalized_inverse_adaptive
+from dune_eigensolver_tpu.solvers.checkpoint import (
+    generalized_inverse_checkpointed,
+    lobpcg_generalized_checkpointed,
+)
 from dune_eigensolver_tpu.solvers.generalized import generalized_inverse
 from dune_eigensolver_tpu.solvers.lobpcg import lobpcg_generalized
 from dune_eigensolver_tpu.solvers.refine import refine_eigenpairs
@@ -11,6 +15,8 @@ __all__ = [
     "standard_inverse",
     "generalized_inverse",
     "generalized_inverse_adaptive",
+    "generalized_inverse_checkpointed",
     "lobpcg_generalized",
+    "lobpcg_generalized_checkpointed",
     "refine_eigenpairs",
 ]

@@ -140,3 +140,86 @@ def generalized_inverse_checkpointed(
         criterion=res.criterion,
         ortho_monitor=res.ortho_monitor,
     )
+
+
+def lobpcg_generalized_checkpointed(
+    A,
+    B,
+    nev: int,
+    tol: float,
+    maxiter: int,
+    checkpoint_path: str,
+    checkpoint_every: int = 50,
+    shift: float = 0.0,
+    reg: float = 0.0,
+    min_iter: int = 3,
+    precond: Optional[Callable] = None,
+    verbose: int = 0,
+    **solver_kw,
+) -> EigenResult:
+    """lobpcg_generalized with segmented execution + on-disk checkpoints —
+    the long-run production path (the 10M-dof north-star solve iterates for
+    tens of seconds per segment; a pod-scale or tighter-tolerance run for
+    minutes-to-hours).
+
+    LOBPCG's full state is (X, P); the checkpoint persists only the Ritz
+    block X (same file format as the subspace-iteration checkpoint), so a
+    resume warm-starts from X and rebuilds the conjugate direction P over
+    the first segment iteration — a one-iteration momentum loss, never a
+    correctness loss. Same contract as ``lobpcg_generalized`` otherwise.
+    """
+    from dune_eigensolver_tpu.solvers.lobpcg import lobpcg_generalized
+    from dune_eigensolver_tpu.solvers.standard import padded_width
+
+    block = solver_kw.get("block", 8)
+    m = padded_width(nev, block)  # checkpoint the full padded iterate block
+
+    q0 = None
+    done = 0
+    state = load_checkpoint(checkpoint_path)
+    if state is not None:
+        q0, done = state
+        q0 = jax.numpy.asarray(q0)
+        if verbose > 0:
+            print(f"checkpoint: resuming at iteration {done}")
+
+    res = None
+    while done < maxiter:
+        seg = min(checkpoint_every, maxiter - done)
+        res = lobpcg_generalized(
+            A,
+            B,
+            nev=m,  # keep all m columns so restarts lose no subspace
+            tol=tol,
+            maxiter=seg,
+            shift=shift,
+            reg=reg,
+            min_iter=max(0, min_iter - done),
+            precond=precond,
+            q0=q0,
+            **solver_kw,
+        )
+        done += int(res.iterations)
+        Q = res.eigenvectors  # (n, m) B-normalized Ritz block, full width
+        save_checkpoint(checkpoint_path, Q, done, res.eigenvalues)
+        if verbose > 0:
+            print(
+                f"checkpoint: segment done, iterations={done} "
+                f"criterion={float(res.criterion):.3e}"
+            )
+        if bool(res.converged) and done > min_iter:
+            break
+        q0 = Q
+    if res is None:  # maxiter <= done at entry (fully resumed run)
+        res = lobpcg_generalized(
+            A, B, nev=m, tol=tol, maxiter=1, shift=shift, reg=reg,
+            min_iter=0, precond=precond, q0=q0, **solver_kw,
+        )
+    return EigenResult(
+        eigenvalues=res.eigenvalues[:nev],
+        eigenvectors=res.eigenvectors[:, :nev],
+        iterations=jax.numpy.asarray(done, jax.numpy.int32),
+        converged=res.converged,
+        criterion=res.criterion,
+        ortho_monitor=res.ortho_monitor,
+    )

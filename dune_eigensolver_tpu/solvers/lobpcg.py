@@ -63,7 +63,8 @@ _PREC = lax.Precision.HIGHEST
 
 def _lobpcg_core(A_int, B_int, prec_aux, Q0, hooks, cfg):
     apply_a_h, apply_b_h, gram_reduce, prec_fn = hooks
-    (nev, tol, maxiter, shift_eval, block, min_iter, ortho_eps, n, dtype) = cfg
+    (nev, tol, maxiter, shift_eval, block, min_iter, ortho_eps, n, dtype,
+     ortho_iters) = cfg
     apply_a = apply_a_h or (lambda X: spmm_t(A_int, X))
     apply_b = apply_b_h or (lambda X: spmm_t(B_int, X))
     reduce_ = gram_reduce or (lambda g: g)
@@ -76,8 +77,8 @@ def _lobpcg_core(A_int, B_int, prec_aux, Q0, hooks, cfg):
         # CholeskyQR2 in the A'-inner product; A' is PD so no junk handling
         # is needed (the eps floor only guards W -> 0 at convergence).
         S, _ = b_orthonormalize_blocked_t(
-            apply_a, S, block=block, gram_reduce=gram_reduce, iterations=2,
-            eps=ortho_eps,
+            apply_a, S, block=block, gram_reduce=gram_reduce,
+            iterations=ortho_iters, eps=ortho_eps,
         )
         return S
 
@@ -165,6 +166,7 @@ def lobpcg_generalized(
     seed: int = 123,
     min_iter: int = 3,
     ortho_eps: float = 1e-9,
+    ortho_iterations: int = 2,
     precond: Optional[Callable] = None,
     apply_a: Optional[Callable] = None,
     apply_b: Optional[Callable] = None,
@@ -182,6 +184,12 @@ def lobpcg_generalized(
     Requires A' = A + shift*B + reg*I positive definite — the same
     assumption the reference's no-pivot factorization path makes; pass a
     positive ``shift`` (reference default 1e-3) and/or ``reg``.
+
+    ``ortho_iterations``: CholeskyQR passes per basis orthonormalization
+    (default 2 = CholeskyQR2, the safe f32 choice). 1 saves one operator
+    application on the (3m, n*) search block per ortho — worthwhile at very
+    large n when the preconditioner keeps the basis well conditioned;
+    validate against an oracle before relying on it.
 
     ``precond``: factory mapping A' to an (approximate) inverse apply; same
     conventions as the ``inverse=`` factories (plain callable or
@@ -237,6 +245,7 @@ def lobpcg_generalized(
         float(ortho_eps),
         int(n),
         jnp.dtype(dtype),
+        int(ortho_iterations),
     )
     hooks = (apply_a, apply_b, gram_reduce, prec_fn)
     if apply_a is None and apply_b is None and gram_reduce is None:

@@ -37,7 +37,13 @@ def make_prec(spec):
         cond = float(parts[1]) if len(parts) > 1 else 30.0
         return chebyshev_inverse_factory(degree=deg, cond_target=cond)
     if spec.startswith("cg"):
-        return cg_inverse_factory(rtol=1e-2, maxiter=int(spec[2:] or 25))
+        rest = spec[2:]
+        dtype = None
+        if rest.endswith("b"):  # "cg25b" = bf16 inner CG
+            import jax.numpy as jnp
+
+            dtype, rest = jnp.bfloat16, rest[:-1]
+        return cg_inverse_factory(rtol=1e-2, maxiter=int(rest or 25), dtype=dtype)
     raise ValueError(spec)
 
 
@@ -55,12 +61,14 @@ def main():
     ana20 = eigenvalues_laplace_dirichlet_3d(N, count=20)
 
     for cfg in configs:
-        spec, _, nev_s = cfg.partition(":")
-        nev = int(nev_s or 24)
+        parts = cfg.split(":")  # spec[:nev[:ortho_iters]]
+        spec = parts[0]
+        nev = int(parts[1]) if len(parts) > 1 and parts[1] else 24
+        oi = int(parts[2]) if len(parts) > 2 else 2
         prec = make_prec(spec)
         run = lambda: lobpcg_generalized(  # noqa: E731
             A, B, nev=nev, tol=2e-3, maxiter=300, shift=0.0, precond=prec,
-            min_iter=3,
+            min_iter=3, ortho_iterations=oi,
         )
         t0 = time.perf_counter()
         res = run()

@@ -75,6 +75,37 @@ def test_checkpoint_resume(tmp_path):
     assert bool(full.converged)
 
 
+def test_lobpcg_checkpoint_resume(tmp_path):
+    from dune_eigensolver_tpu.solvers import (
+        lobpcg_generalized,
+        lobpcg_generalized_checkpointed,
+    )
+    from dune_eigensolver_tpu.solvers.checkpoint import load_checkpoint
+
+    A, B = _pair()
+    path = str(tmp_path / "state.npz")
+    kw = dict(nev=4, tol=1e-8, maxiter=300, shift=1e-3, min_iter=3)
+
+    # interrupted run: two 3-iteration segments
+    lobpcg_generalized_checkpointed(
+        A, B, checkpoint_path=path, checkpoint_every=3,
+        **{**kw, "maxiter": 6},
+    )
+    state = load_checkpoint(path)
+    assert state is not None and state[1] >= 6
+
+    # resume to convergence; warm-started X loses only the P direction,
+    # so the eigenvalues must still match the uninterrupted run
+    full = lobpcg_generalized_checkpointed(
+        A, B, checkpoint_path=path, checkpoint_every=100, **kw
+    )
+    ref = lobpcg_generalized(A, B, **kw)
+    np.testing.assert_allclose(
+        np.asarray(full.eigenvalues), np.asarray(ref.eigenvalues), atol=1e-6
+    )
+    assert bool(full.converged)
+
+
 def test_printers(capsys):
     from dune_eigensolver_tpu.utils.printers import show, show_spectrum
 

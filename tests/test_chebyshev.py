@@ -138,6 +138,27 @@ def test_lobpcg_chebyshev_vs_analytic():
     assert np.abs(got - ana).max() < TOL
 
 
+def test_lobpcg_chebyshev_bf16():
+    """bf16-streamed Chebyshev preconditioner (dtype= on the factory): the
+    outer Rayleigh-Ritz stays f32, so eigenvalues still match the analytic
+    spectrum — same bandwidth optimization as cg_inverse_factory(dtype=)."""
+    import jax.numpy as jnp
+
+    N = 20
+    A = problems.laplacian_dirichlet_2d(N, dtype=np.float32)
+    B = problems.identity_on_pattern(A)
+    prec = chebyshev_inverse_factory(
+        degree=12, cond_target=30.0, dtype=jnp.bfloat16
+    )
+    res = lobpcg_generalized(
+        A, B, nev=4, tol=1e-6, maxiter=300, shift=1e-3, precond=prec
+    )
+    ana = eigenvalues_laplace_dirichlet_2d(N)[:4]
+    got = np.sort(np.asarray(res.eigenvalues))[:4]
+    assert bool(res.converged)
+    assert np.abs(got - ana).max() < TOL
+
+
 def test_lobpcg_chebyshev_geneo_pair():
     # flagship GenEO-style pair (semidefinite B): Chebyshev-preconditioned
     # LOBPCG must agree with the subspace-iteration solver's oracle protocol

@@ -123,6 +123,32 @@ def test_generalized_inverse_cg_path():
     assert err.max() < 5e-2
 
 
+def test_lobpcg_bf16_preconditioner():
+    """A bfloat16 inner CG (cg_inverse_factory(dtype=...)) is still a valid
+    LOBPCG preconditioner: the Rayleigh-Ritz outer loop stays f32, so the
+    eigenvalues must match the analytic spectrum at full working accuracy.
+    This is the north-star bandwidth optimization — the preconditioner is
+    ~85% of per-iteration HBM traffic at n=10M."""
+    import jax.numpy as jnp
+
+    from dune_eigensolver_tpu.solvers import lobpcg_generalized
+
+    N = 20
+    A = problems.laplacian_dirichlet_2d(N, dtype=np.float32)
+    B = problems.identity_on_pattern(A)
+    prec16 = cg_inverse_factory(rtol=1e-2, maxiter=25, dtype=jnp.bfloat16)
+    # tol 1e-6, not tighter: the bf16 direction noise floors the
+    # Rayleigh-quotient change around ~4e-7 (measured); the eigenvalues
+    # themselves are f32-accurate well before that
+    res = lobpcg_generalized(
+        A, B, nev=4, tol=1e-6, maxiter=300, shift=1e-3, precond=prec16
+    )
+    ana = eigenvalues_laplace_dirichlet_2d(N)[:4]
+    got = np.sort(np.asarray(res.eigenvalues))[:4]
+    assert bool(res.converged)
+    assert np.abs(got - ana).max() < TOL
+
+
 def test_solvers_jittable():
     """The whole solve is one XLA computation."""
     N = 10
