@@ -261,17 +261,29 @@ class _ShardEngine:
         itself always goes through the hooks."""
         return self.ops[0] if self.mode == "padded" else None
 
-    def apply(self, i: int):
-        """Transposed-layout SpMM hook for operand i."""
+    def apply(self, i: int, dtype=None):
+        """Transposed-layout SpMM hook for operand i. ``dtype`` streams the
+        operand (and expects multivectors) in that dtype — the bf16
+        preconditioner path; the cast is traced outside the solver loop so
+        the narrow copy materializes once per solve."""
         if self.mode == "padded":
+            op = self.ops[i]
+            if dtype is not None:
+                op = PaddedDIA(
+                    data=op.data.astype(dtype), offsets=op.offsets,
+                    shape=op.shape, tile=op.tile, guard=op.guard,
+                )
             return partial(
                 padded_spmm_halo,
-                self.ops[i],
+                op,
                 axis=self.axis,
                 interpret=self.interpret,
             )
+        data = self.datas[i]
+        if dtype is not None:
+            data = data.astype(dtype)
         return partial(
-            dia_spmm_halo_t, self.datas[i], self.offsets_list[i], axis=self.axis
+            dia_spmm_halo_t, data, self.offsets_list[i], axis=self.axis
         )
 
     def pad_q0(self, q0: jax.Array) -> jax.Array:
@@ -749,6 +761,7 @@ def sharded_lobpcg_generalized(
     cg_maxiter: int = 100,
     axis: str = ROW_AXIS,
     spmm: Optional[str] = None,
+    prec_dtype=None,
 ):
     """Multi-chip LOBPCG on the reciprocal pencil (solvers/lobpcg.py).
 
@@ -758,6 +771,12 @@ def sharded_lobpcg_generalized(
     shift-invert solvers' inner solve). All Gram reductions psum over the
     row axis; SpMMs halo-exchange over ICI and run the per-shard Pallas
     kernel under ``spmm='padded'`` (TPU default).
+
+    ``prec_dtype``: stream the inner CG in this dtype (casting at the
+    preconditioner boundary; dots still accumulate f32 before the psum).
+    ``jnp.bfloat16`` halves both the per-shard HBM traffic and the halo
+    bytes on ICI — the single-chip north-star recipe
+    (cg_inverse_factory(dtype=...)), shard-local here.
     """
     from dune_eigensolver_tpu.factorize.cg import cg_solve_t
     from dune_eigensolver_tpu.solvers.lobpcg import _lobpcg_core
@@ -790,17 +809,22 @@ def sharded_lobpcg_generalized(
         apply_a = eng.apply(0)
         apply_b = eng.apply(1)
         inv_diag = eng.inv_diag(0)
+        apply_a_p = eng.apply(0, dtype=prec_dtype)
+        inv_diag_p = (
+            inv_diag if prec_dtype is None else inv_diag.astype(prec_dtype)
+        )
 
         def prec_fn(_aux, X):
+            Xp_ = X if prec_dtype is None else X.astype(prec_dtype)
             Y, _ = cg_solve_t(
-                apply_a,
-                X,
-                inv_diag=inv_diag,
+                apply_a_p,
+                Xp_,
+                inv_diag=inv_diag_p,
                 rtol=cg_rtol,
                 maxiter=cg_maxiter,
                 gram_reduce=reduce_,
             )
-            return Y
+            return Y.astype(X.dtype)
 
         cfg = (
             nev,

@@ -2,10 +2,12 @@
 >= 10M dof on ONE chip (the BASELINE.md north-star problem, single-chip
 slice), via LOBPCG with a loose-CG preconditioner — no factorization.
 
-    python experiments_3d_10m.py [N] [nev] [precond]
+    python experiments/eigen3d_10m.py [N] [nev] [precond] [ortho_iters]
 
-N=216 -> n = 10,077,696 dof. precond: "cgK" (Jacobi-CG, K iterations) or
-"chebD[,COND]" (degree-D Chebyshev on [lmax/COND, lmax]); default cg25.
+N=216 -> n = 10,077,696 dof. precond: "cgK" (Jacobi-CG, K iterations),
+"cgKb" (same, bf16-streamed), or "chebD[,COND]" (degree-D Chebyshev on
+[lmax/COND, lmax]); default cg25. Fastest measured recipe (BASELINE.md,
+12.2 s): N=216, nev=24, cg40b, ortho_iters=1.
 """
 
 import sys
@@ -56,13 +58,21 @@ def main():
         cond = float(parts[1]) if len(parts) > 1 else 30.0
         prec = chebyshev_inverse_factory(degree=deg, cond_target=cond)
     elif spec.startswith("cg"):
-        prec = cg_inverse_factory(rtol=1e-2, maxiter=int(spec[2:] or 25))
+        rest = spec[2:]
+        dt = None
+        if rest.endswith("b"):  # "cg40b" = bf16-streamed inner CG
+            import jax.numpy as jnp
+
+            dt, rest = jnp.bfloat16, rest[:-1]
+        prec = cg_inverse_factory(rtol=1e-2, maxiter=int(rest or 25), dtype=dt)
     else:
         raise ValueError(f"unrecognized preconditioner spec {spec!r}")
-    print(f"precond: {spec}", flush=True)
+    oi = int(sys.argv[4]) if len(sys.argv) > 4 else 2  # ortho_iterations
+    print(f"precond: {spec} ortho_iterations={oi}", flush=True)
+    # fastest measured recipe (BASELINE.md): N=216 nev=24, spec=cg40b, oi=1
     run = lambda: lobpcg_generalized(
         A, B, nev=nev, tol=2e-3, maxiter=300, shift=0.0, precond=prec,
-        min_iter=3,
+        min_iter=3, ortho_iterations=oi,
     )
     t0 = time.perf_counter()
     res = run()

@@ -104,6 +104,24 @@ def test_sharded_lobpcg_matches_oracle():
     assert np.abs(np.asarray(res_s.eigenvalues)[:4] - truth).max() < 2e-3
 
 
+def test_sharded_lobpcg_bf16_precond_matches_oracle():
+    """prec_dtype=bfloat16: the inner CG streams bf16 per shard (and over
+    the halo exchange) while the outer Rayleigh-Ritz stays f32 — the
+    distributed form of the single-chip north-star recipe."""
+    from dune_eigensolver_tpu.dist import sharded_lobpcg_generalized
+    from dune_eigensolver_tpu.oracle import smallest_generalized
+
+    N, overlap, shift = 16, 3, 1e-3
+    A = problems.laplacian_neumann_2d(N, dtype=np.float32)
+    B = problems.laplacian_b_2d(N, overlap, dtype=np.float32)
+    res = sharded_lobpcg_generalized(
+        A, B, nev=4, tol=1e-6, maxiter=300, shift=shift, mesh=make_mesh(8),
+        prec_dtype=jnp.bfloat16,
+    )
+    truth, _ = smallest_generalized(A, B, 4, sigma=-shift, tol=1e-14)
+    assert np.abs(np.asarray(res.eigenvalues)[:4] - truth).max() < 2e-3
+
+
 def test_sharded_lobpcg_3d_matches_analytic():
     """The multi-chip north-star path: sharded LOBPCG on the 3D 7-point
     Laplacian (the BASELINE.md 10M-dof problem, shrunk) against the
