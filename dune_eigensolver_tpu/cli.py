@@ -95,6 +95,18 @@ def _inverse_factory(ptree):
         from dune_eigensolver_tpu.factorize import cheb_cg_inverse_factory
 
         return cheb_cg_inverse_factory(rtol=1e-4, maxiter=300)
+    if kind == "mg":
+        # geometric V-cycle as an approximate inverse: preconditioner-grade
+        # (ev.method=lobpcg); structured 2D/3D stencil operands only
+        from dune_eigensolver_tpu.factorize import mg_inverse_factory
+
+        return mg_inverse_factory()
+    if kind == "mgcg":
+        # V-cycle-preconditioned CG to tolerance: the converging inner
+        # solve for shift-invert on structured (3D) stencils
+        from dune_eigensolver_tpu.factorize import mg_cg_inverse_factory
+
+        return mg_cg_inverse_factory(rtol=1e-4, maxiter=100)
     if kind == "cheb":
         from dune_eigensolver_tpu.factorize import chebyshev_inverse_factory
 

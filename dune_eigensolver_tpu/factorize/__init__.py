@@ -16,6 +16,10 @@ from dune_eigensolver_tpu.factorize.host_lu import (
     factorize,
     lu_inverse_factory,
 )
+from dune_eigensolver_tpu.factorize.multigrid import (
+    mg_cg_inverse_factory,
+    mg_inverse_factory,
+)
 
 
 def default_inverse_factory(A_int, **kw):
@@ -51,9 +55,18 @@ def default_inverse_factory(A_int, **kw):
         if bw <= _DEVICE_BW_MAX:
             A_log = A_int.to_dia() if isinstance(A_int, PaddedDIA) else A_int
             return banded_inverse_factory(A_log, **kw)
-        # wide band (3D): Chebyshev-preconditioned CG on the fast SpMM —
-        # fixed odd-degree polynomial of D^-1 A as the (SPD) preconditioner
-        # cuts the dot-bearing outer iterations ~degree-fold
+        # wide band (3D): structured stencil patterns get V-cycle-
+        # preconditioned CG (n-independent iteration count); anything else
+        # Chebyshev-preconditioned CG — fixed odd-degree polynomial of
+        # D^-1 A as the (SPD) preconditioner cuts the dot-bearing outer
+        # iterations ~degree-fold
+        from dune_eigensolver_tpu.factorize.multigrid import (
+            detect_grid_dims,
+            mg_cg_inverse_factory,
+        )
+
+        if detect_grid_dims(A_int.offsets, A_int.shape[0]) is not None:
+            return mg_cg_inverse_factory(rtol=1e-5, maxiter=100)(A_int)
         return cheb_cg_inverse_factory(rtol=1e-5, maxiter=300)(A_int)
     try:
         return rcm_banded_inverse_factory(A_int, **kw)
@@ -92,5 +105,7 @@ __all__ = [
     "FactorizedMatrix",
     "factorize",
     "lu_inverse_factory",
+    "mg_inverse_factory",
+    "mg_cg_inverse_factory",
     "default_inverse_factory",
 ]

@@ -26,6 +26,22 @@ from dune_eigensolver_tpu.sparse.formats import DIAMatrix
 
 
 def make_prec(spec):
+    if spec.startswith("mg"):
+        # "mg" | "mg2" (2 cycles) | "mg1,1" (nu1,nu2) | suffix "b" = bf16
+        # fine smoothing, e.g. "mg2,2b"
+        from dune_eigensolver_tpu.factorize import mg_inverse_factory
+
+        rest = spec[2:]
+        dtype = None
+        if rest.endswith("b"):
+            dtype, rest = jnp.bfloat16, rest[:-1]
+        cycles, nu = 1, (2, 2)
+        if "," in rest:
+            a, b = rest.split(",")
+            nu = (int(a), int(b))
+        elif rest:
+            cycles = int(rest)
+        return mg_inverse_factory(cycles=cycles, nu1=nu[0], nu2=nu[1], dtype=dtype)
     if spec.startswith("chebcg"):
         parts = spec[6:].split(",")
         deg = int(parts[0]) if parts[0] else 7
