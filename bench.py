@@ -251,15 +251,22 @@ def main():
         # --- north star: smallest-20 of the 10M-dof 3D Laplacian on one
         # chip (experiments/eigen3d_10m.py protocol: N=216, LOBPCG on the
         # reciprocal pencil). Recipe from the r3 sweeps
-        # (experiments/ns_sweep.py): bf16-streamed loose-CG(40)
-        # preconditioner, nev=24 guard block, single-pass CholeskyQR ortho
-        # — 12.2s vs 43.2s for the round-2 default (Chebyshev, nev=20,
-        # QR2). Waypoints: f32 cg25 23.0s, bf16 cg40 16.0s, +QR1 12.2s;
-        # chebcg7 39s, cg15 30s, nev=32 exhausts HBM. QR1 is validated
-        # here: same iteration count as QR2 and err20 4.3e-6 vs analytic.
-        # Error is still reported on the smallest 20. ---
+        # (experiments/ns_sweep.py): one geometric-multigrid V(1,1) cycle
+        # with bf16 fine smoothing as the preconditioner, nev=24 guard
+        # block, single-pass CholeskyQR ortho in 24-row blocks
+        # (ortho_block=24: the widest Pallas-legal divisor of the 72-row
+        # search basis — 3 prefix steps instead of 9, the dominant
+        # per-iteration cost at this scale, experiments/ns_phases.py), and
+        # the identity-B fast path. Waypoints: round-2 default cheb16/
+        # nev20/QR2 43.2s -> f32 cg25 23.0s -> bf16 cg40 + QR1 12.2s ->
+        # mg V(2,2)b 5.5s -> +b_identity 5.3s -> +ortho_block=24 3.2s ->
+        # V(1,1) 3.0s (every cycle shape converges in the same 12
+        # iterations, so the cheapest smoother wins; err20 9.5e-6).
+        # Full-width QR (ortho_block='full') NaNs at this n (cond(S)^2
+        # exceeds f32); nev=32 exhausts HBM. Error is still reported on
+        # the smallest 20 vs the analytic spectrum. ---
         try:
-            from dune_eigensolver_tpu.factorize import cg_inverse_factory
+            from dune_eigensolver_tpu.factorize import mg_inverse_factory
             from dune_eigensolver_tpu.oracle.analytic import (
                 eigenvalues_laplace_dirichlet_3d,
             )
@@ -272,10 +279,11 @@ def main():
                 data=jnp.ones((1, n3), dtype), offsets=(0,), shape=A3.shape
             )
             _ = np.asarray(jnp.ravel(A3.data)[0])  # finish the device build
-            prec = cg_inverse_factory(rtol=1e-2, maxiter=40, dtype=jnp.bfloat16)
+            prec = mg_inverse_factory(nu1=1, nu2=1, dtype=jnp.bfloat16)
             run = lambda: lobpcg_generalized(  # noqa: E731
                 A3, B3, nev=nguard3, tol=2e-3, maxiter=300, shift=0.0,
                 precond=prec, min_iter=3, ortho_iterations=1,
+                ortho_block=24, b_identity=True,
             )
             res = run()  # includes remote compile
             ev3 = np.asarray(res.eigenvalues)

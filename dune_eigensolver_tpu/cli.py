@@ -340,6 +340,12 @@ def eigenvalues_test(ptree) -> dict:
                 block=block,
                 seed=int(ptree["ev.seed"]),
                 precond=False if str(ptree["ev.inverse"]) == "none" else _inverse_factory(ptree),
+                ortho_iterations=int(ptree.get("ev.ortho_iterations", 2)),
+                ortho_block=(lambda s: None if s == "" else
+                             ("full" if s == "full" else int(s)))(
+                    str(ptree.get("ev.ortho_block", ""))
+                ),
+                b_identity=bool(int(ptree.get("ev.b_identity", 0))),
             )
         )
         ev = np.asarray(res.eigenvalues)

@@ -837,6 +837,7 @@ def sharded_lobpcg_generalized(
             int(n_pad),
             jnp.dtype(A.dtype),
             2,  # ortho_iterations: CholeskyQR2
+            None,  # ortho_block: default b-blocked sweep (robust)
         )
         hooks = (apply_a, apply_b, reduce_, prec_fn)
         B_int = eng.ops[1] if mode == "padded" else None

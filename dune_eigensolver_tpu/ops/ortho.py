@@ -115,6 +115,15 @@ def orthonormalize_blocked_t(
     reduce_ = gram_reduce or (lambda g: g)
     nb = m // block
 
+    if nb == 1:
+        # single-block fast path = plain CholeskyQR of the whole multivector:
+        # no prefix exists, so the projection matmuls (two full passes over an
+        # all-zero (m, n*) buffer) are dropped entirely
+        for _ in range(iterations):
+            G = reduce_(jnp.dot(Xt, Xt.T, precision=_PREC))
+            Xt = _chol_normalize_t(Xt, G, eps)
+        return Xt
+
     for _ in range(iterations):
         X = Xt
 
@@ -173,6 +182,25 @@ def b_orthonormalize_blocked_t(
 
     norm = jnp.zeros((), dtype=Xt.dtype)
     mass = jnp.zeros((m,), dtype=Xt.dtype)
+
+    if nb == 1:
+        # single-block fast path = B-inner-product CholeskyQR of the whole
+        # multivector: skips the zero-prefix projection passes AND the
+        # triangular solve of the B-image (only needed to project later
+        # blocks, of which there are none)
+        for sweep in range(iterations):
+            Pk = apply_b(Xt)
+            G = reduce_(jnp.dot(Pk, Xt.T, precision=_PREC))
+            norm = jnp.maximum(norm, jnp.max(jnp.abs(jnp.where(offdiag, G, 0))))
+            if sweep == 0:
+                mass = jnp.diag(G)
+            G = 0.5 * (G + G.T)
+            Gr = G + eps * jnp.trace(G) / m * jnp.eye(m, dtype=G.dtype)
+            Xt = _left_lower_solve(_small_chol(Gr), Xt)
+        if return_mass:
+            return Xt, norm, mass
+        return Xt, norm
+
     for sweep in range(iterations):
         X = Xt
 

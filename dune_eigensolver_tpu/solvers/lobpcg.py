@@ -61,10 +61,16 @@ from dune_eigensolver_tpu.sparse.spmm import spmm_t
 _PREC = lax.Precision.HIGHEST
 
 
+def _identity_apply(X):
+    """apply_b for an identity mass matrix (``b_identity=True``): the hook is
+    module-level so the jitted core's static hooks key stays stable."""
+    return X
+
+
 def _lobpcg_core(A_int, B_int, prec_aux, Q0, hooks, cfg):
     apply_a_h, apply_b_h, gram_reduce, prec_fn = hooks
     (nev, tol, maxiter, shift_eval, block, min_iter, ortho_eps, n, dtype,
-     ortho_iters) = cfg
+     ortho_iters, ortho_block) = cfg
     apply_a = apply_a_h or (lambda X: spmm_t(A_int, X))
     apply_b = apply_b_h or (lambda X: spmm_t(B_int, X))
     reduce_ = gram_reduce or (lambda g: g)
@@ -74,11 +80,23 @@ def _lobpcg_core(A_int, B_int, prec_aux, Q0, hooks, cfg):
     tiny = jnp.asarray(1e-30, dtype)
 
     def a_ortho(S):
-        # CholeskyQR2 in the A'-inner product; A' is PD so no junk handling
+        # CholeskyQR in the A'-inner product; A' is PD so no junk handling
         # is needed (the eps floor only guards W -> 0 at convergence).
+        # ortho_block='full' = whole-basis CholeskyQR: one Gram + one
+        # trisolve instead of a prefix sweep whose every step re-reads the
+        # full (3m, n*) buffer (287 ms -> ~45 ms per ortho at north-star
+        # shapes, experiments/ns_phases.py) — but the full-width f32 Gram
+        # has cond(S)^2 and NaNs on ill-conditioned bases (loose-CG GenEO),
+        # so the robust b-blocked sweep stays the default.
+        if ortho_block == "full":
+            blk = S.shape[0]
+        else:
+            # clamp: the iteration-0 ortho sees the (m, n*) start block,
+            # the loop the (3m, n*) search basis
+            blk = min(ortho_block or block, S.shape[0])
         S, _ = b_orthonormalize_blocked_t(
-            apply_a, S, block=block, gram_reduce=gram_reduce,
-            iterations=ortho_iters, eps=ortho_eps,
+            apply_a, S, block=blk,
+            gram_reduce=gram_reduce, iterations=ortho_iters, eps=ortho_eps,
         )
         return S
 
@@ -167,6 +185,8 @@ def lobpcg_generalized(
     min_iter: int = 3,
     ortho_eps: float = 1e-9,
     ortho_iterations: int = 2,
+    ortho_block: Optional[int] = None,
+    b_identity: bool = False,
     precond: Optional[Callable] = None,
     apply_a: Optional[Callable] = None,
     apply_b: Optional[Callable] = None,
@@ -190,6 +210,20 @@ def lobpcg_generalized(
     application on the (3m, n*) search block per ortho — worthwhile at very
     large n when the preconditioner keeps the basis well conditioned;
     validate against an oracle before relying on it.
+
+    ``ortho_block``: column-block size of the basis orthonormalization sweep.
+    Default ``None`` = ``block`` (the reference's b-blocked prefix sweep,
+    robust for ill-conditioned bases). ``'full'`` = whole-basis CholeskyQR —
+    one Gram + one trisolve, ~6x less HBM traffic at large n, valid when the
+    preconditioner keeps the basis well conditioned (e.g. the MG-V-cycle
+    north-star recipe; full-width f32 Cholesky sees cond(S)^2 and NaNs on
+    loose-CG GenEO bases — validate against an oracle before relying on it).
+
+    ``b_identity=True`` asserts B is the identity (the standard-problem
+    embedding, e.g. the 3D north-star pencil): ``B @ X`` becomes a no-op,
+    removing three full passes over the search block per iteration. The
+    caller owns the assertion — it is not checked against ``B``'s values
+    (a device fetch at setup is a tunnel hazard, CLAUDE.md).
 
     ``precond``: factory mapping A' to an (approximate) inverse apply; same
     conventions as the ``inverse=`` factories (plain callable or
@@ -235,6 +269,8 @@ def lobpcg_generalized(
         Q0 = to_internal(
             random_multivector_t(jax.random.PRNGKey(seed), n, m, dtype), layout
         )
+    if b_identity and apply_b is None:
+        apply_b = _identity_apply
     cfg = (
         nev,
         float(tol),
@@ -246,8 +282,13 @@ def lobpcg_generalized(
         int(n),
         jnp.dtype(dtype),
         int(ortho_iterations),
+        ortho_block if ortho_block in (None, "full") else int(ortho_block),
     )
     hooks = (apply_a, apply_b, gram_reduce, prec_fn)
-    if apply_a is None and apply_b is None and gram_reduce is None:
+    if (
+        apply_a is None
+        and (apply_b is None or apply_b is _identity_apply)
+        and gram_reduce is None
+    ):
         return _lobpcg_core_jit(A_int, B_int, prec_aux, Q0, hooks, cfg)
     return _lobpcg_core(A_int, B_int, prec_aux, Q0, hooks, cfg)

@@ -6,8 +6,10 @@ slice), via LOBPCG with a loose-CG preconditioner — no factorization.
 
 N=216 -> n = 10,077,696 dof. precond: "cgK" (Jacobi-CG, K iterations),
 "cgKb" (same, bf16-streamed), or "chebD[,COND]" (degree-D Chebyshev on
-[lmax/COND, lmax]); default cg25. Fastest measured recipe (BASELINE.md,
-12.2 s): N=216, nev=24, cg40b, ortho_iters=1.
+[lmax/COND, lmax]); default cg25. NOTE: the fastest recipe has moved on —
+geometric-multigrid V(1,1) bf16 + ortho_block=24 + b_identity, 2.98 s
+(BASELINE.md); sweep it with experiments/ns_sweep.py ("mg1,1b:24:1:24").
+This script remains the Krylov-preconditioner protocol.
 """
 
 import sys

@@ -56,8 +56,6 @@ def make_prec(spec):
         rest = spec[2:]
         dtype = None
         if rest.endswith("b"):  # "cg25b" = bf16 inner CG
-            import jax.numpy as jnp
-
             dtype, rest = jnp.bfloat16, rest[:-1]
         return cg_inverse_factory(rtol=1e-2, maxiter=int(rest or 25), dtype=dtype)
     raise ValueError(spec)
@@ -77,14 +75,17 @@ def main():
     ana20 = eigenvalues_laplace_dirichlet_3d(N, count=20)
 
     for cfg in configs:
-        parts = cfg.split(":")  # spec[:nev[:ortho_iters]]
+        parts = cfg.split(":")  # spec[:nev[:ortho_iters[:ortho_block]]]
         spec = parts[0]
         nev = int(parts[1]) if len(parts) > 1 and parts[1] else 24
         oi = int(parts[2]) if len(parts) > 2 else 2
+        ob = None
+        if len(parts) > 3 and parts[3]:
+            ob = "full" if parts[3] == "full" else int(parts[3])
         prec = make_prec(spec)
         run = lambda: lobpcg_generalized(  # noqa: E731
             A, B, nev=nev, tol=2e-3, maxiter=300, shift=0.0, precond=prec,
-            min_iter=3, ortho_iterations=oi,
+            min_iter=3, ortho_iterations=oi, ortho_block=ob, b_identity=True,
         )
         t0 = time.perf_counter()
         res = run()

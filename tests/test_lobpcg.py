@@ -77,3 +77,24 @@ def test_lobpcg_iteration_advantage():
     r_lo = lobpcg_generalized(A, B, min_iter=1, **kw)
     r_gi = generalized_inverse(A, B, **kw)
     assert int(r_lo.iterations) <= int(r_gi.iterations)
+
+
+def test_lobpcg_b_identity_and_ortho_block():
+    # north-star fast-path flags: b_identity skips the B applies (caller
+    # asserts B = I) and ortho_block sets the CholeskyQR sweep width
+    # (including the whole-basis 'full' single-block fast path). All
+    # variants must agree with the analytic spectrum.
+    N = 20
+    A = problems.laplacian_dirichlet_2d(N)
+    B = problems.identity_on_pattern(A)
+    ana = eigenvalues_laplace_dirichlet_2d(N)[:4]
+    kw = dict(nev=4, tol=1e-6, maxiter=200, shift=1e-3)
+    for extra in (
+        dict(b_identity=True),
+        dict(b_identity=True, ortho_block="full", ortho_iterations=1),
+        dict(ortho_block=4),
+    ):
+        res = lobpcg_generalized(A, B, **kw, **extra)
+        got = np.asarray(res.eigenvalues)[:4]
+        assert res.converged, extra
+        assert np.abs(got - ana).max() < TOL, extra

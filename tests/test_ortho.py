@@ -86,3 +86,26 @@ def test_orthonormalize_under_jit(rng):
     Q = jax.jit(lambda x: orthonormalize_blocked(x, block=8))(X)
     G = np.asarray(Q).T @ np.asarray(Q)
     assert np.abs(G - np.eye(16)).max() < 1e-12
+
+
+def test_b_orthonormalize_single_block_fast_path(rng):
+    # nb == 1 takes the whole-multivector CholeskyQR fast path (no prefix
+    # buffer); it must produce B-orthonormal vectors and the same first-sweep
+    # mass diagnostics as the definitionally-equivalent m == block sweep.
+    from dune_eigensolver_tpu.ops.ortho import b_orthonormalize_blocked_t
+    from dune_eigensolver_tpu.sparse import problems
+
+    B = problems.laplacian_b_2d(10, overlap=3)
+    n = B.shape[0]
+    Xt = jnp.asarray(rng.normal(size=(8, n)))
+    Q, norm, mass = b_orthonormalize_blocked_t(
+        B, Xt, block=8, iterations=2, eps=1e-12, return_mass=True
+    )
+    Bd = B.to_scipy().toarray().astype(np.float64)
+    Qn = np.asarray(Q, dtype=np.float64)
+    G = Qn @ Bd @ Qn.T
+    # B is semidefinite: only rows with real B-mass must be orthonormal
+    live = np.asarray(mass) > 1e-8
+    Gl = G[np.ix_(live, live)]
+    assert np.abs(Gl - np.eye(Gl.shape[0])).max() < 1e-8
+    assert float(norm) >= 0.0
