@@ -1,4 +1,8 @@
 from dune_eigensolver_tpu.dist.mesh import ROW_AXIS, init_distributed, make_mesh
+from dune_eigensolver_tpu.dist.mg import (
+    make_sharded_mg_prec_fn,
+    sharded_mg_geometry,
+)
 from dune_eigensolver_tpu.dist.sharded import (
     dia_spmm_halo,
     dia_spmm_halo_t,
@@ -17,6 +21,8 @@ __all__ = [
     "ROW_AXIS",
     "make_mesh",
     "init_distributed",
+    "make_sharded_mg_prec_fn",
+    "sharded_mg_geometry",
     "dia_spmm_halo",
     "dia_spmm_halo_t",
     "halo_exchange",

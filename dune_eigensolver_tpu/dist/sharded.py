@@ -762,21 +762,31 @@ def sharded_lobpcg_generalized(
     axis: str = ROW_AXIS,
     spmm: Optional[str] = None,
     prec_dtype=None,
+    precond: str = "cg",
+    ortho_block=None,
 ):
     """Multi-chip LOBPCG on the reciprocal pencil (solvers/lobpcg.py).
 
-    The preconditioner is a *loose* matrix-free CG on the shifted operator
-    (rtol defaults to 1e-2 — LOBPCG only needs an approximate inverse, so
-    the inner Krylov runs an order of magnitude shorter than the sharded
-    shift-invert solvers' inner solve). All Gram reductions psum over the
-    row axis; SpMMs halo-exchange over ICI and run the per-shard Pallas
-    kernel under ``spmm='padded'`` (TPU default).
+    ``precond='cg'`` (default, any operand): a *loose* matrix-free CG on the
+    shifted operator (rtol defaults to 1e-2 — LOBPCG only needs an
+    approximate inverse, so the inner Krylov runs an order of magnitude
+    shorter than the sharded shift-invert solvers' inner solve).
+    ``precond='mg'`` (structured 2D/3D stencils): the distributed geometric
+    V(1,1) cycle (dist/mg.py) — partitioned fine smoothing through the halo
+    SpMM, shard-local semi-coarsening, ONE all_gather per cycle, replicated
+    coarse levels; the multi-chip version of the single-chip north-star
+    recipe (BASELINE.md). All Gram reductions psum over the row axis; SpMMs
+    halo-exchange over ICI and run the per-shard Pallas kernel under
+    ``spmm='padded'`` (TPU default).
 
-    ``prec_dtype``: stream the inner CG in this dtype (casting at the
-    preconditioner boundary; dots still accumulate f32 before the psum).
-    ``jnp.bfloat16`` halves both the per-shard HBM traffic and the halo
-    bytes on ICI — the single-chip north-star recipe
-    (cg_inverse_factory(dtype=...)), shard-local here.
+    ``prec_dtype``: stream the preconditioner (inner CG, or MG fine-level
+    smoothing) in this dtype (casting at the preconditioner boundary; dots
+    still accumulate f32 before the psum). ``jnp.bfloat16`` halves both the
+    per-shard HBM traffic and the halo bytes on ICI — the single-chip
+    north-star recipe, shard-local here.
+
+    ``ortho_block``: forwarded to the LOBPCG core (solvers/lobpcg.py) — 24
+    with an MG preconditioner mirrors the single-chip north-star setting.
     """
     from dune_eigensolver_tpu.factorize.cg import cg_solve_t
     from dune_eigensolver_tpu.solvers.lobpcg import _lobpcg_core
@@ -786,6 +796,15 @@ def sharded_lobpcg_generalized(
     mode = _pick_spmm(spmm)
     n = A.shape[0]
     n_pad = _padded_rows(n, mesh)
+    if precond not in ("cg", "mg"):
+        raise ValueError(f"unknown precond {precond!r} (cg|mg)")
+    n_shards = int(mesh.shape[axis])
+    mg_dims = None
+    if precond == "mg":
+        from dune_eigensolver_tpu.dist.mg import sharded_mg_geometry
+
+        # validate OUTSIDE shard_map so misuse raises, not traces
+        mg_dims = sharded_mg_geometry(A.offsets, n, n_pad, n_shards)
 
     A_op = A
     if shift != 0.0:
@@ -809,22 +828,30 @@ def sharded_lobpcg_generalized(
         apply_a = eng.apply(0)
         apply_b = eng.apply(1)
         inv_diag = eng.inv_diag(0)
-        apply_a_p = eng.apply(0, dtype=prec_dtype)
-        inv_diag_p = (
-            inv_diag if prec_dtype is None else inv_diag.astype(prec_dtype)
-        )
 
-        def prec_fn(_aux, X):
-            Xp_ = X if prec_dtype is None else X.astype(prec_dtype)
-            Y, _ = cg_solve_t(
-                apply_a_p,
-                Xp_,
-                inv_diag=inv_diag_p,
-                rtol=cg_rtol,
-                maxiter=cg_maxiter,
-                gram_reduce=reduce_,
+        if precond == "mg":
+            from dune_eigensolver_tpu.dist.mg import make_sharded_mg_prec_fn
+
+            prec_fn = make_sharded_mg_prec_fn(
+                eng, mg_dims, n_shards, axis, dtype=prec_dtype
             )
-            return Y.astype(X.dtype)
+        else:
+            apply_a_p = eng.apply(0, dtype=prec_dtype)
+            inv_diag_p = (
+                inv_diag if prec_dtype is None else inv_diag.astype(prec_dtype)
+            )
+
+            def prec_fn(_aux, X):
+                Xp_ = X if prec_dtype is None else X.astype(prec_dtype)
+                Y, _ = cg_solve_t(
+                    apply_a_p,
+                    Xp_,
+                    inv_diag=inv_diag_p,
+                    rtol=cg_rtol,
+                    maxiter=cg_maxiter,
+                    gram_reduce=reduce_,
+                )
+                return Y.astype(X.dtype)
 
         cfg = (
             nev,
@@ -837,7 +864,7 @@ def sharded_lobpcg_generalized(
             int(n_pad),
             jnp.dtype(A.dtype),
             2,  # ortho_iterations: CholeskyQR2
-            None,  # ortho_block: default b-blocked sweep (robust)
+            ortho_block,  # None = b-blocked sweep (robust); 24 = north star
         )
         hooks = (apply_a, apply_b, reduce_, prec_fn)
         B_int = eng.ops[1] if mode == "padded" else None

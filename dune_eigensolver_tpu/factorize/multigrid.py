@@ -244,6 +244,41 @@ def _sampled_coeffs(A_int, dims, G):
     return c0, a_axes, sigma
 
 
+def _vcycle_coarse(levels, level, b, a_fine, sigma, nu1, nu2, omega,
+                   coarse_iters):
+    """Replicable coarse-level V-cycle recursion on (m, *dims) blocks:
+    matrix-free rediscretized stencils, damped-Jacobi smoothing, fixed-
+    iteration f32 CG at the coarsest level. Module-level so the distributed
+    layer (dist/mg.py) can run the identical coarse correction replicated
+    on every shard after its semi-coarse all_gather."""
+    dims_l = levels[level]
+    a_l = tuple(a * (0.25**level) for a in a_fine)
+    c0_l = sigma - 2.0 * sum(a_l)
+    if level == len(levels) - 1:
+        a32 = tuple(a.astype(jnp.float32) for a in a_l)
+        x = _coarse_cg(
+            lambda v: _stencil_apply(v, c0_l.astype(jnp.float32), a32),
+            b.astype(jnp.float32),
+            coarse_iters,
+        )
+        return x.astype(b.dtype)
+    dt = b.dtype
+    inv_c = (omega / c0_l).astype(dt)
+    a_dt = tuple(a.astype(dt) for a in a_l)
+    c0_dt = c0_l.astype(dt)
+    apply_l = lambda v: _stencil_apply(v, c0_dt, a_dt)  # noqa: E731
+    x = inv_c * b
+    for _ in range(nu1 - 1):
+        x = x + inv_c * (b - apply_l(x))
+    r = b - apply_l(x)
+    e = _vcycle_coarse(levels, level + 1, _restrict(r), a_fine, sigma,
+                       nu1, nu2, omega, coarse_iters)
+    x = x + _prolong(e, dims_l)
+    for _ in range(nu2):
+        x = x + inv_c * (b - apply_l(x))
+    return x
+
+
 def _mg_solve_fn(geom, levels, cycles, nu1, nu2, omega, coarse_iters, dtype):
     key = (
         geom,
@@ -260,31 +295,8 @@ def _mg_solve_fn(geom, levels, cycles, nu1, nu2, omega, coarse_iters, dtype):
     dims, G, n, width = geom
 
     def vcycle_coarse(level, b, a_fine, sigma):
-        dims_l = levels[level]
-        a_l = tuple(a * (0.25**level) for a in a_fine)
-        c0_l = sigma - 2.0 * sum(a_l)
-        if level == len(levels) - 1:
-            a32 = tuple(a.astype(jnp.float32) for a in a_l)
-            x = _coarse_cg(
-                lambda v: _stencil_apply(v, c0_l.astype(jnp.float32), a32),
-                b.astype(jnp.float32),
-                coarse_iters,
-            )
-            return x.astype(b.dtype)
-        dt = b.dtype
-        inv_c = (omega / c0_l).astype(dt)
-        a_dt = tuple(a.astype(dt) for a in a_l)
-        c0_dt = c0_l.astype(dt)
-        apply_l = lambda v: _stencil_apply(v, c0_dt, a_dt)  # noqa: E731
-        x = inv_c * b
-        for _ in range(nu1 - 1):
-            x = x + inv_c * (b - apply_l(x))
-        r = b - apply_l(x)
-        e = vcycle_coarse(level + 1, _restrict(r), a_fine, sigma)
-        x = x + _prolong(e, dims_l)
-        for _ in range(nu2):
-            x = x + inv_c * (b - apply_l(x))
-        return x
+        return _vcycle_coarse(levels, level, b, a_fine, sigma, nu1, nu2,
+                              omega, coarse_iters)
 
     def solve(aux, Xt):
         A_, inv_d = aux
