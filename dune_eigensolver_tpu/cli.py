@@ -328,6 +328,18 @@ def eigenvalues_test(ptree) -> dict:
     elif method == "lobpcg":
         from dune_eigensolver_tpu.solvers import lobpcg_generalized
 
+        b_identity = bool(int(ptree.get("ev.b_identity", 0)))
+        if b_identity and int(ptree["ev.dim"]) != 3:
+            # fetch-free structural guard: ev.b_identity skips ALL
+            # B-applies, which is only valid for the identity pencil the
+            # 3D protocol builds (identity_on_pattern); the 2D default B
+            # is the GenEO mass matrix — honoring the flag there would
+            # silently return wrong eigenvalues.
+            raise ValueError(
+                "ev.b_identity=1 requires the identity-pencil problem "
+                "(ev.dim=3); the 2D protocol's B is the GenEO "
+                "partition-of-unity mass matrix"
+            )
         res, t = _timed(
             lambda: lobpcg_generalized(
                 A,
@@ -345,7 +357,7 @@ def eigenvalues_test(ptree) -> dict:
                              ("full" if s == "full" else int(s)))(
                     str(ptree.get("ev.ortho_block", ""))
                 ),
-                b_identity=bool(int(ptree.get("ev.b_identity", 0))),
+                b_identity=b_identity,
             )
         )
         ev = np.asarray(res.eigenvalues)
@@ -563,7 +575,12 @@ def matvec_performance_test(ptree) -> dict:
         for name, M in (("bsr", Ab), ("ell", Ae)):
             try:
                 M_int, _, L = make_windowed_operands(M, m=m)
-            except ValueError:
+            except ValueError as e:
+                from dune_eigensolver_tpu.utils.vlog import warn_fallback
+
+                warn_fallback(
+                    f"matvec {name}_win skipped at m={m}: {e}"
+                )
                 print(f"RESULT {name}_win skipped (window overflow)", flush=True)
                 continue
             # pad lanes must be zero: windowed pad rows preserve zeros, and

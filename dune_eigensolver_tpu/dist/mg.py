@@ -54,9 +54,31 @@ from dune_eigensolver_tpu.factorize.multigrid import (
 )
 
 
-def sharded_mg_geometry(offsets, n_global: int, n_pad: int, P: int):
-    """Validate and return (dims, lnz, levels-relevant dims) for the
-    distributed V-cycle, or raise ValueError."""
+def sharded_mg_geometry(
+    offsets, n_global: int, n_pad: int, P: int, min_coarse: int = 6
+):
+    """Validate and return the grid dims for the distributed V-cycle, or
+    raise ValueError. ALL misuse raises here — callers run this OUTSIDE
+    shard_map so errors raise instead of tracing (make_sharded_mg_prec_fn
+    itself is called inside the trace and only asserts).
+
+    Error contract / caller obligations:
+
+    * the operator must be a structured 2D/3D stencil on ITS OWN pattern
+      (``detect_grid_dims``) with no mesh row-padding;
+    * the slab axis must divide by P with >= 4 planes per shard;
+    * the grid must coarsen at least once above ``min_coarse``;
+    * **constant stencil coefficients** (Laplacian-like): the gate is
+      purely structural, and the replicated coarse levels are built from
+      the coefficients each shard samples at its OWN interior row —
+      variable-coefficient operators pass detection but the shards'
+      "replicated" coarse cycles then silently diverge, degrading the
+      preconditioner (LOBPCG stays correct — a preconditioner only has to
+      be SPD — but convergence suffers and the change-based stopping rule
+      can mask the stall). Use precond='cg' for variable coefficients.
+    """
+    import math
+
     if n_pad != n_global:
         raise ValueError(
             f"sharded mg: n={n_global} is padded to {n_pad} for the mesh — "
@@ -74,6 +96,17 @@ def sharded_mg_geometry(offsets, n_global: int, n_pad: int, P: int):
             f"sharded mg: slab axis {dims[0]} over {P} shards gives "
             f"{dims[0] / P:g} planes/shard; need a multiple of P with >= 4 "
             "planes so every shard samples interior stencil coefficients"
+        )
+    if len(_coarse_levels(tuple(dims), min_coarse)) < 2:
+        raise ValueError(
+            f"sharded mg: grid {dims} has no coarse level above "
+            f"min_coarse={min_coarse}"
+        )
+    nloc = n_pad // P
+    if (dims[0] // P) * math.prod(dims[1:]) != nloc:
+        raise ValueError(
+            f"sharded mg: local rows {nloc} != slab "
+            f"{(dims[0] // P,) + tuple(dims[1:])}"
         )
     return dims
 
@@ -98,16 +131,12 @@ def make_sharded_mg_prec_fn(
     lnz = dims[0] // P
     dims_loc = (lnz,) + tuple(dims[1:])
     nloc = eng.nloc
-    if lnz * math.prod(dims[1:]) != nloc:
-        raise ValueError(
-            f"sharded mg: local rows {nloc} != slab {dims_loc}"
-        )
+    # geometry was validated by sharded_mg_geometry OUTSIDE the trace
+    # (misuse raises there, not mid-trace); these only guard internal
+    # consistency between the engine and the validated dims.
+    assert lnz * math.prod(dims[1:]) == nloc, (dims_loc, nloc)
     levels = _coarse_levels(tuple(dims), min_coarse)
-    if len(levels) < 2:
-        raise ValueError(
-            f"sharded mg: grid {dims} has no coarse level above "
-            f"min_coarse={min_coarse}"
-        )
+    assert len(levels) >= 2, (dims, min_coarse)
     if eng.mode == "padded":
         G = eng.layout.G
         width = eng.layout.width

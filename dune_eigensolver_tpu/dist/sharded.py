@@ -893,6 +893,14 @@ def _pick_inner(inner: str, A, nloc: int) -> str:
     if inner == "schwarz":
         bw = max((abs(o) for o in A.offsets), default=0)
         if bw > min(nloc, _DEVICE_BW_MAX):
+            from dune_eigensolver_tpu.utils.vlog import warn_fallback
+
+            warn_fallback(
+                f"schwarz inner engine needs bandwidth {bw} <= "
+                f"min(nloc={nloc}, {_DEVICE_BW_MAX}) -> downgrading to "
+                "plain Jacobi-CG (no per-shard block solves; expect more "
+                "inner iterations)"
+            )
             return "cg"
     return inner
 

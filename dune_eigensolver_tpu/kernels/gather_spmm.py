@@ -74,10 +74,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 # X-window VMEM model: 2 double-buffered W-blocks per pipelined input (x2
-# inputs) + the (2W/128, m, 128) staging scratch ~ 6 * mpad * W * 4 B, plus
-# segment coefficient/lane blocks and the output tile. Budget matches
-# dia_spmm's empirical safe point for composed solver programs (~5 MB
-# modeled); wider supports must use the XLA fallback.
+# inputs) + the (2W/128, mb, 128) staging scratch ~ 6 * mb * W * 4 B, plus
+# segment coefficient/lane blocks and the output tile. ``mb`` is the
+# M-TILING block: wide multivectors are served in mb-row blocks by a second
+# (inner) grid axis, so the VMEM window is per-m-block instead of whole-m
+# and the m ceiling is gone (VERDICT r3 ask #2 — the reference's CSR
+# kernels serve any m in blocks of 8, kernels_cpp.hh:626-657; GenEO
+# production blocks are m=128, TPU_LARGE_M_r03). The window cap is set by
+# the mb=8 floor; the kernel then picks the LARGEST mb that fits. Budget
+# matches dia_spmm's empirical safe point for composed solver programs
+# (~5 MB modeled); wider supports must use the XLA fallback.
 _VMEM_BUDGET = 5 * 2**20
 _W_MAX = 64 * 1024
 # segments per operand: past this the coefficient arrays are mostly padding
@@ -93,12 +99,27 @@ _SMAX_CAP = 48
 _KEEP_MIN_FRAC = 1.0 / 1024.0
 
 
-def _w_cap(m: int, smax: int = 8, tile: int = 2048) -> int:
-    mpad = _round_up(max(m, 8), 8)
-    rest = 2 * 2 * smax * tile * 8 + 2 * mpad * tile * 4
+def _w_cap(m: int = 8, smax: int = 8, tile: int = 2048) -> int:
+    """Window cap at the mb=8 m-tiling floor (``m`` is accepted for API
+    stability but no longer moves the cap — any m is served in blocks)."""
+    mb = 8
+    rest = 2 * 2 * smax * tile * 8 + 2 * mb * tile * 4
     return min(
-        _W_MAX, max(0, (_VMEM_BUDGET - rest) // (6 * 4 * mpad) // 128) * 128
+        _W_MAX, max(0, (_VMEM_BUDGET - rest) // (6 * 4 * mb) // 128) * 128
     )
+
+
+def _pick_mb(mpad: int, W: int, smax: int, Tr: int) -> int:
+    """Largest m-block (divisor of mpad, multiple of 8, <= 128) whose
+    staging window + output tile fit the VMEM budget."""
+    best = 8
+    rest = 2 * 2 * smax * Tr * 8
+    for mb in (8, 16, 24, 32, 40, 48, 64, 96, 128):
+        if mb > mpad or mpad % mb:
+            continue
+        if 6 * mb * W * 4 + 2 * mb * Tr * 4 + rest <= _VMEM_BUDGET:
+            best = mb
+    return best
 
 
 @dataclasses.dataclass(frozen=True)
@@ -462,12 +483,14 @@ def make_windowed_operands(A, B=None, tile: int = 2048, m: int = 8):
 
 
 def _seg_kernel(
-    offs, smax, Tr, W, nbw, mpad, acc_dt,
+    offs, smax, Tr, W, nbw, mb, acc_dt,
     starts_ref, data_ref, lanes_ref, xlo_ref, xhi_ref, *rest,
 ):
     # rest = (dead_ref?, out_ref, scratch): dead_ref is the donated output
     # buffer passed as a dummy input (see windowed_spmm_t out_buf) — never
-    # read. scratch is the (2*nbw, mpad, 128) X staging buffer.
+    # read. scratch is the (2*nbw, mb, 128) X staging buffer. The grid is
+    # (row tiles, m-blocks) with the m axis INNER, so the coefficient/lane
+    # blocks (indexed by t only) stay resident across the m sweep.
     out_ref, scr = rest[-2], rest[-1]
     t = pl.program_id(0)
     # stage the two W-slabs as 128-lane blocks: dynamic_gather sources are
@@ -480,13 +503,13 @@ def _seg_kernel(
     ng = Tr // 128
     for g in range(ng):
         q0 = t * ng + g - Pblk  # this subgroup's own 128-block, pair-rel
-        acc = jnp.zeros((mpad, 128), acc_dt)
+        acc = jnp.zeros((mb, 128), acc_dt)
         lanes_g = lanes_ref[:, 128 * g : 128 * (g + 1)]  # (smax, 128)
         data_g = data_ref[:, 128 * g : 128 * (g + 1)]
         for s in range(smax):
             q = jnp.clip(q0 + offs[s], 0, 2 * nbw - 1)
-            xs = scr[q]  # (mpad, 128) — dynamic leading-dim load
-            idx = jnp.broadcast_to(lanes_g[s : s + 1], (mpad, 128))
+            xs = scr[q]  # (mb, 128) — dynamic leading-dim load
+            idx = jnp.broadcast_to(lanes_g[s : s + 1], (mb, 128))
             g_s = jnp.take_along_axis(xs, idx, axis=1)
             acc = acc + data_g[s : s + 1].astype(acc_dt) * g_s.astype(acc_dt)
         out_ref[:, 128 * g : 128 * (g + 1)] = acc.astype(out_ref.dtype)
@@ -525,18 +548,24 @@ def windowed_spmm_t(
     nbw = W // 128
     nbW = width // W  # full slab count (width is a multiple of W)
     acc_dt = jnp.float32 if Xp.dtype == jnp.float32 else Xp.dtype
+    # m-tiling: serve wide multivectors in mb-row blocks on an INNER grid
+    # axis — coefficients stream once per row tile (index map constant in
+    # j), the X window stages per (t, j) at mb-block VMEM cost, total X
+    # traffic unchanged (nt * mpad * W either way)
+    mb = _pick_mb(mpad, W, smax, Tr)
+    nm = mpad // mb
 
     kernel = functools.partial(
-        _seg_kernel, A.offs, smax, Tr, W, nbw, mpad, acc_dt
+        _seg_kernel, A.offs, smax, Tr, W, nbw, mb, acc_dt
     )
 
     in_specs = [
-        pl.BlockSpec((smax, Tr), lambda t, s: (0, t)),
-        pl.BlockSpec((smax, Tr), lambda t, s: (0, t)),
-        pl.BlockSpec((mpad, W), lambda t, s: (0, s[t] // W)),
+        pl.BlockSpec((smax, Tr), lambda t, j, s: (0, t)),
+        pl.BlockSpec((smax, Tr), lambda t, j, s: (0, t)),
+        pl.BlockSpec((mb, W), lambda t, j, s: (j, s[t] // W)),
         pl.BlockSpec(
-            (mpad, W),
-            lambda t, s: (0, jnp.minimum(s[t] // W + 1, nbW - 1)),
+            (mb, W),
+            lambda t, j, s: (j, jnp.minimum(s[t] // W + 1, nbW - 1)),
         ),
     ]
     operands = [A.starts, A.data, A.lanes, Xp, Xp]
@@ -548,16 +577,16 @@ def windowed_spmm_t(
                 f"!= output ({mpad}, {width})/{Xp.dtype}"
             )
         in_specs.append(
-            pl.BlockSpec((min(mpad, 8), 128), lambda t, s: (0, 0))
+            pl.BlockSpec((min(mb, 8), 128), lambda t, j, s: (0, 0))
         )
         operands.append(out_buf)
         io_alias = {5: 0}  # (starts, data, lanes, xlo, xhi, out_buf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(width // Tr,),
+        grid=(width // Tr, nm),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((mpad, Tr), lambda t, s: (0, t)),
-        scratch_shapes=[pltpu.VMEM((2 * nbw, mpad, 128), Xp.dtype)],
+        out_specs=pl.BlockSpec((mb, Tr), lambda t, j, s: (j, t)),
+        scratch_shapes=[pltpu.VMEM((2 * nbw, mb, 128), Xp.dtype)],
     )
     flops = 2 * A.nnz * mpad
     Yp = pl.pallas_call(

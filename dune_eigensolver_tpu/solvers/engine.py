@@ -145,8 +145,17 @@ def make_engine(
             try:
                 A_int, B_int, L = make_windowed_operands(A_sh, B, m=m)
                 return A_int, B_int, L, EngineSpec(0, L.n, L.width)
-            except ValueError:
-                pass  # window overflow: XLA fallback below
+            except ValueError as e:
+                # window overflow: XLA fallback below — LOUD (the windowed
+                # kernel measured ~43x faster than the XLA gather
+                # formulation on v5e, TPU_MATVEC_r03)
+                from dune_eigensolver_tpu.utils.vlog import warn_fallback
+
+                warn_fallback(
+                    f"windowed-gather SpMM setup failed at m={m} "
+                    f"(n={A_sh.shape[0]}): {e} -> using the XLA gather "
+                    "formulation (~40x slower on TPU)"
+                )
         return A_sh, B, None, EngineSpec(None, None, None)
     union = set(A_sh.offsets)
     if B is not None:
