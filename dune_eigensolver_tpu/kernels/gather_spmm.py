@@ -20,10 +20,12 @@ Those two facts shape the design:
 * rows are tiled (``Tr`` scalar columns of the transposed multivector per
   grid step) and, like nearly every FEM/graph operator after an RCM-style
   ordering, each row tile's column support fits a bounded WINDOW of X;
-* the window arrives through two W-wide auto-pipelined blocked inputs
-  (index maps ``starts[t] // W`` and ``+1``; per-tile starts are
-  scalar-prefetched) and is staged once per tile into a (2W/128, m, 128)
-  VMEM scratch of 128-lane blocks;
+* the window arrives through ``K = W//Tr + 1`` Tr-granular auto-pipelined
+  blocked inputs (index maps ``starts[t] // Tr + k``; per-tile starts are
+  scalar-prefetched) and is staged once per (tile, m-block) into a
+  (K*Tr/128, mb, 128) VMEM scratch of 128-lane blocks. Tr granularity
+  fetches W + Tr lanes of X per tile instead of the 2W of a slab-pair
+  scheme — less over-fetch and less VMEM, so wider m-blocks fit;
 * every matrix entry is host-assigned to a SEGMENT ``s`` identified by a
   static block offset ``offs[s] = col//128 - row//128`` plus a
   multiplicity rank, so the hot loop per segment is: one dynamic scratch
@@ -73,19 +75,24 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-# X-window VMEM model: 2 double-buffered W-blocks per pipelined input (x2
-# inputs) + the (2W/128, mb, 128) staging scratch ~ 6 * mb * W * 4 B, plus
-# segment coefficient/lane blocks and the output tile. ``mb`` is the
-# M-TILING block: wide multivectors are served in mb-row blocks by a second
-# (inner) grid axis, so the VMEM window is per-m-block instead of whole-m
-# and the m ceiling is gone (VERDICT r3 ask #2 — the reference's CSR
-# kernels serve any m in blocks of 8, kernels_cpp.hh:626-657; GenEO
-# production blocks are m=128, TPU_LARGE_M_r03). The window cap is set by
-# the mb=8 floor; the kernel then picks the LARGEST mb that fits. Budget
-# matches dia_spmm's empirical safe point for composed solver programs
-# (~5 MB modeled); wider supports must use the XLA fallback.
+# X-window VMEM model: K = W//Tr + 1 double-buffered Tr-wide pipelined
+# inputs + the (K*Tr/128, mb, 128) staging scratch ~ 3 * (W+Tr) * mb * 4 B,
+# plus segment coefficient (f32) / lane (int8) blocks and the output tile.
+# ``mb`` is the M-TILING block: wide multivectors are served in mb-row
+# blocks by a second (inner) grid axis, so the VMEM window is per-m-block
+# instead of whole-m and the m ceiling is gone (VERDICT r3 ask #2 — the
+# reference's CSR kernels serve any m in blocks of 8,
+# kernels_cpp.hh:626-657; GenEO production blocks are m=128,
+# TPU_LARGE_M_r03). The window cap is set by the mb=8 floor; the kernel
+# then picks the LARGEST mb that fits. Budget matches dia_spmm's empirical
+# safe point for composed solver programs (~5 MB modeled); wider supports
+# must use the XLA fallback.
 _VMEM_BUDGET = 5 * 2**20
 _W_MAX = 64 * 1024
+# lane indices live in [0, 128): stream them as int8 (the coefficient+lane
+# stream is the dominant HBM traffic at small m — 127 MB at f32+i32 on the
+# n=522k elasticity operand, 79 MB with i8 lanes); widened to i32 in-kernel
+_LANE_DTYPE = np.int8
 # segments per operand: past this the coefficient arrays are mostly padding
 # (pattern too irregular for static-offset segmentation); lower-coverage
 # slots spill to the COO tail instead.
@@ -103,21 +110,20 @@ def _w_cap(m: int = 8, smax: int = 8, tile: int = 2048) -> int:
     """Window cap at the mb=8 m-tiling floor (``m`` is accepted for API
     stability but no longer moves the cap — any m is served in blocks)."""
     mb = 8
-    rest = 2 * 2 * smax * tile * 8 + 2 * mb * tile * 4
-    return min(
-        _W_MAX, max(0, (_VMEM_BUDGET - rest) // (6 * 4 * mb) // 128) * 128
-    )
+    rest = 2 * smax * tile * (4 + 1) + 2 * mb * tile * 4
+    cap = (_VMEM_BUDGET - rest) // (3 * 4 * mb) - tile
+    return min(_W_MAX, max(0, cap) // 128 * 128)
 
 
 def _pick_mb(mpad: int, W: int, smax: int, Tr: int) -> int:
     """Largest m-block (divisor of mpad, multiple of 8, <= 128) whose
     staging window + output tile fit the VMEM budget."""
     best = 8
-    rest = 2 * 2 * smax * Tr * 8
+    rest = 2 * smax * Tr * (4 + 1)
     for mb in (8, 16, 24, 32, 40, 48, 64, 96, 128):
         if mb > mpad or mpad % mb:
             continue
-        if 6 * mb * W * 4 + 2 * mb * Tr * 4 + rest <= _VMEM_BUDGET:
+        if 3 * mb * (W + Tr) * 4 + 2 * mb * Tr * 4 + rest <= _VMEM_BUDGET:
             best = mb
     return best
 
@@ -129,8 +135,10 @@ class WindowedELL:
     ``data``/``lanes`` are (smax, n_pad) — segments on sublanes, rows on
     lanes. Entry (s, i) contributes ``data[s,i] * X[col]`` with
     ``col = (i//128 + offs[s]) * 128 + lanes[s,i]``; absent entries carry
-    ``data == 0``. ``starts`` are per-row-tile X-window starts (multiples
-    of 128) used only for pipelining X slabs into VMEM.
+    ``data == 0``. ``lanes`` values live in [0, 128) and are stored int8
+    (widened in-kernel) — the lane stream is pure HBM traffic. ``starts``
+    are per-row-tile X-window starts (multiples of 128) used only for
+    pipelining X slabs into VMEM.
 
     ``far_*`` hold the COO tail: entries whose (offset, rank) slot was too
     sparsely covered to earn a kernel segment. Padded to a lane multiple
@@ -140,7 +148,7 @@ class WindowedELL:
     """
 
     data: jax.Array  # (smax, n_pad)
-    lanes: jax.Array  # (smax, n_pad) int32 in [0, 128)
+    lanes: jax.Array  # (smax, n_pad) int8 in [0, 128)
     starts: jax.Array  # (nt,) int32 window starts (scalar cols)
     far_rows: jax.Array  # (nfar_pad,) int32
     far_cols: jax.Array  # (nfar_pad,) int32
@@ -167,7 +175,9 @@ class WindowedELL:
     def _cols_abs(self) -> jax.Array:
         lane = jnp.arange(self.width, dtype=jnp.int32)
         offs = jnp.asarray(self.offs, jnp.int32)[:, None]
-        return (lane[None, :] // 128 + offs) * 128 + self.lanes
+        return (lane[None, :] // 128 + offs) * 128 + self.lanes.astype(
+            jnp.int32
+        )
 
     def padded_diagonal(self, fill=1.0) -> jax.Array:
         """(n_pad,) diagonal with ``fill`` in the padded tail (guard-safe
@@ -237,9 +247,10 @@ jax.tree_util.register_dataclass(
 
 
 def _plan_windows(mincol, maxcol, Tr: int, w_cap: int):
-    """Per-tile window starts + the common slab width W (multiple of Tr so
-    one width can be a multiple of both). mincol/maxcol are per-tile scalar
-    column extents (maxcol exclusive)."""
+    """Per-tile window starts + the window width W (multiple of Tr).
+    mincol/maxcol are per-tile scalar column extents (maxcol exclusive).
+    The kernel covers [floor(starts/Tr)*Tr, + (W//Tr + 1)*Tr) via
+    Tr-granular slabs, which always contains [starts, starts + W)."""
     starts = (mincol // 128) * 128
     span = int(np.max(maxcol - starts)) if len(starts) else 128
     W = _round_up(max(span, Tr), Tr)
@@ -250,9 +261,11 @@ def _plan_windows(mincol, maxcol, Tr: int, w_cap: int):
             "(operator support too scattered — consider an RCM reordering "
             "first)"
         )
-    # the xhi slab (index starts//W + 1) must always be a real slab so its
-    # data is live wherever entries fall past starts+W-epsilon
-    width_needed = (int(np.max(starts // W)) + 2) * W if len(starts) else 2 * W
+    # every slab index starts//Tr + k, k < W//Tr + 1, must be a real slab
+    K = W // Tr + 1
+    width_needed = (
+        (int(np.max(starts // Tr)) + K) * Tr if len(starts) else K * Tr
+    )
     return starts.astype(np.int32), W, width_needed
 
 
@@ -374,17 +387,19 @@ def _build_segmented(A, cls, extra_meta, tile, min_width, m, min_window):
         mincol, maxcol, Tr, _w_cap(m, smax, Tr)
     )
     W = max(W, _round_up(max(int(min_window), 1), Tr))
-    width = _round_up(max(n_pad, width_needed, int(min_width)), W)
+    # width is Tr-granular (the kernel's X slabs are Tr-wide); pad tiles'
+    # starts anchor at their own tile so their slab indices stay in range
+    width = _round_up(max(n_pad, width_needed, int(min_width)), Tr)
     nt = width // Tr
     starts = np.concatenate(
         [starts, (np.arange(len(starts), nt) * Tr).astype(np.int32)]
     )
 
     data_seg = np.zeros((smax, width), data.dtype)
-    lanes = np.zeros((smax, width), np.int32)
+    lanes = np.zeros((smax, width), _LANE_DTYPE)
     ri, ki = np.nonzero(near)
     data_seg[seg[ri, ki], ri] = data[ri, ki]
-    lanes[seg[ri, ki], ri] = (cols[ri, ki] % 128).astype(np.int32)
+    lanes[seg[ri, ki], ri] = (cols[ri, ki] % 128).astype(_LANE_DTYPE)
 
     # COO tail, padded to a lane multiple with no-op entries
     fr, fk = np.nonzero(valid & ~near)
@@ -465,10 +480,9 @@ def make_windowed_operands(A, B=None, tile: int = 2048, m: int = 8):
     if B is None:
         return A_int, None, WindowedLayout(A.shape[0], A_int.width)
     B_int = build(B)
-    # common width must be a multiple of both slab widths (both are
-    # multiples of Tr, so the lcm stays moderate)
-    Wl = (A_int.window * B_int.window) // math.gcd(A_int.window, B_int.window)
-    wmax = _round_up(max(A_int.width, B_int.width), Wl)
+    # common width: the kernel's X slabs are Tr-granular (shared Tr), so a
+    # plain max suffices — no slab-width lcm equalization needed
+    wmax = max(A_int.width, B_int.width)
     if A_int.width != wmax:
         A_int = build(A, min_width=wmax)
     if B_int.width != wmax:
@@ -483,31 +497,34 @@ def make_windowed_operands(A, B=None, tile: int = 2048, m: int = 8):
 
 
 def _seg_kernel(
-    offs, smax, Tr, W, nbw, mb, acc_dt,
-    starts_ref, data_ref, lanes_ref, xlo_ref, xhi_ref, *rest,
+    offs, smax, Tr, K, mb, acc_dt,
+    starts_ref, data_ref, lanes_ref, *rest,
 ):
-    # rest = (dead_ref?, out_ref, scratch): dead_ref is the donated output
-    # buffer passed as a dummy input (see windowed_spmm_t out_buf) — never
-    # read. scratch is the (2*nbw, mb, 128) X staging buffer. The grid is
-    # (row tiles, m-blocks) with the m axis INNER, so the coefficient/lane
-    # blocks (indexed by t only) stay resident across the m sweep.
+    # rest = (x_0..x_{K-1}, dead_ref?, out_ref, scratch): the K Tr-wide X
+    # slab inputs, then the optional donated output buffer passed as a
+    # dummy input (see windowed_spmm_t out_buf) — never read. scratch is
+    # the (K*Tr/128, mb, 128) X staging buffer. The grid is (row tiles,
+    # m-blocks) with the m axis INNER, so the coefficient/lane blocks
+    # (indexed by t only) stay resident across the m sweep.
+    x_refs = rest[:K]
     out_ref, scr = rest[-2], rest[-1]
     t = pl.program_id(0)
-    # stage the two W-slabs as 128-lane blocks: dynamic_gather sources are
+    nbt = Tr // 128
+    # stage the K Tr-slabs as 128-lane blocks: dynamic_gather sources are
     # single vregs, and the per-segment block select is a dynamic load on
     # the scratch's leading dim (probed OK on v5e)
-    for b in range(nbw):
-        scr[b] = xlo_ref[:, 128 * b : 128 * (b + 1)]
-        scr[nbw + b] = xhi_ref[:, 128 * b : 128 * (b + 1)]
-    Pblk = (starts_ref[t] // W) * nbw  # pair base, in 128-blocks
+    for kk in range(K):
+        for b in range(nbt):
+            scr[kk * nbt + b] = x_refs[kk][:, 128 * b : 128 * (b + 1)]
+    Pblk = (starts_ref[t] // Tr) * nbt  # slab base, in 128-blocks
     ng = Tr // 128
     for g in range(ng):
-        q0 = t * ng + g - Pblk  # this subgroup's own 128-block, pair-rel
+        q0 = t * ng + g - Pblk  # this subgroup's own 128-block, slab-rel
         acc = jnp.zeros((mb, 128), acc_dt)
-        lanes_g = lanes_ref[:, 128 * g : 128 * (g + 1)]  # (smax, 128)
+        lanes_g = lanes_ref[:, 128 * g : 128 * (g + 1)].astype(jnp.int32)
         data_g = data_ref[:, 128 * g : 128 * (g + 1)]
         for s in range(smax):
-            q = jnp.clip(q0 + offs[s], 0, 2 * nbw - 1)
+            q = jnp.clip(q0 + offs[s], 0, K * nbt - 1)
             xs = scr[q]  # (mb, 128) — dynamic leading-dim load
             idx = jnp.broadcast_to(lanes_g[s : s + 1], (mb, 128))
             g_s = jnp.take_along_axis(xs, idx, axis=1)
@@ -545,30 +562,30 @@ def windowed_spmm_t(
         )
     if mpad % 8 != 0:
         raise ValueError(f"windowed_spmm_t: m={mpad} not a multiple of 8")
-    nbw = W // 128
-    nbW = width // W  # full slab count (width is a multiple of W)
+    nbT = width // Tr  # total Tr-slab count (width is a multiple of Tr)
+    K = W // Tr + 1  # slabs covering [floor(starts/Tr)*Tr, starts + W)
     acc_dt = jnp.float32 if Xp.dtype == jnp.float32 else Xp.dtype
     # m-tiling: serve wide multivectors in mb-row blocks on an INNER grid
     # axis — coefficients stream once per row tile (index map constant in
-    # j), the X window stages per (t, j) at mb-block VMEM cost, total X
-    # traffic unchanged (nt * mpad * W either way)
+    # j), the X window stages per (t, j) at mb-block VMEM cost
     mb = _pick_mb(mpad, W, smax, Tr)
     nm = mpad // mb
 
     kernel = functools.partial(
-        _seg_kernel, A.offs, smax, Tr, W, nbw, mb, acc_dt
+        _seg_kernel, A.offs, smax, Tr, K, mb, acc_dt
     )
 
     in_specs = [
         pl.BlockSpec((smax, Tr), lambda t, j, s: (0, t)),
         pl.BlockSpec((smax, Tr), lambda t, j, s: (0, t)),
-        pl.BlockSpec((mb, W), lambda t, j, s: (j, s[t] // W)),
+    ] + [
         pl.BlockSpec(
-            (mb, W),
-            lambda t, j, s: (j, jnp.minimum(s[t] // W + 1, nbW - 1)),
-        ),
+            (mb, Tr),
+            lambda t, j, s, _k=kk: (j, jnp.minimum(s[t] // Tr + _k, nbT - 1)),
+        )
+        for kk in range(K)
     ]
-    operands = [A.starts, A.data, A.lanes, Xp, Xp]
+    operands = [A.starts, A.data, A.lanes] + [Xp] * K
     io_alias = {}
     if out_buf is not None:
         if out_buf.shape != (mpad, width) or out_buf.dtype != Xp.dtype:
@@ -580,13 +597,13 @@ def windowed_spmm_t(
             pl.BlockSpec((min(mb, 8), 128), lambda t, j, s: (0, 0))
         )
         operands.append(out_buf)
-        io_alias = {5: 0}  # (starts, data, lanes, xlo, xhi, out_buf)
+        io_alias = {3 + K: 0}  # (starts, data, lanes, x_0..x_{K-1}, out_buf)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(width // Tr, nm),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((mb, Tr), lambda t, j, s: (j, t)),
-        scratch_shapes=[pltpu.VMEM((2 * nbw, mb, 128), Xp.dtype)],
+        scratch_shapes=[pltpu.VMEM((K * (Tr // 128), mb, 128), Xp.dtype)],
     )
     flops = 2 * A.nnz * mpad
     Yp = pl.pallas_call(
@@ -596,8 +613,10 @@ def windowed_spmm_t(
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(
-                A.data.size + A.lanes.size + 3 * mpad * width
-            ) * Xp.dtype.itemsize,
+                A.data.size * A.data.dtype.itemsize
+                + A.lanes.size * A.lanes.dtype.itemsize
+                + 3 * mpad * width * Xp.dtype.itemsize
+            ),
             transcendentals=0,
         ),
         input_output_aliases=io_alias,

@@ -46,7 +46,8 @@ def ell_spmm(A: ELLMatrix, X: jax.Array) -> jax.Array:
     """Y = A @ X with A in ELL format. X: (n_cols, m)."""
     gathered = jnp.take(X, A.cols, axis=0)  # (n, k, m)
     return jnp.einsum(
-        "nk,nkm->nm", A.data, gathered, preferred_element_type=X.dtype
+        "nk,nkm->nm", A.data, gathered, preferred_element_type=X.dtype,
+        precision=lax.Precision.HIGHEST,
     )
 
 
@@ -57,7 +58,8 @@ def bsr_spmm(A: BSRMatrix, X: jax.Array) -> jax.Array:
     Xb = X.reshape(A.shape[1] // bc, bc, m)
     gathered = jnp.take(Xb, A.bcols, axis=0)  # (nbr, k, bc, m)
     Yb = jnp.einsum(
-        "rkab,rkbm->ram", A.bdata, gathered, preferred_element_type=X.dtype
+        "rkab,rkbm->ram", A.bdata, gathered, preferred_element_type=X.dtype,
+        precision=lax.Precision.HIGHEST,
     )
     return Yb.reshape(A.shape[0], m)
 
@@ -85,7 +87,8 @@ def ell_spmm_t(A: ELLMatrix, Xt: jax.Array) -> jax.Array:
     """Yt = (A @ Xt.T).T with A in ELL format. Xt: (m, n_cols)."""
     gathered = jnp.take(Xt, A.cols, axis=1)  # (m, n, k)
     return jnp.einsum(
-        "nk,mnk->mn", A.data, gathered, preferred_element_type=Xt.dtype
+        "nk,mnk->mn", A.data, gathered, preferred_element_type=Xt.dtype,
+        precision=lax.Precision.HIGHEST,
     )
 
 
@@ -96,7 +99,8 @@ def bsr_spmm_t(A: BSRMatrix, Xt: jax.Array) -> jax.Array:
     Xb = Xt.reshape(m, A.shape[1] // bc, bc)
     gathered = jnp.take(Xb, A.bcols, axis=1)  # (m, nbr, k, bc)
     Yb = jnp.einsum(
-        "rkab,mrkb->mra", A.bdata, gathered, preferred_element_type=Xt.dtype
+        "rkab,mrkb->mra", A.bdata, gathered, preferred_element_type=Xt.dtype,
+        precision=lax.Precision.HIGHEST,
     )
     return Yb.reshape(m, A.shape[0])
 

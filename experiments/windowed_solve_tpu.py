@@ -66,6 +66,15 @@ def main():
                                     shift=1e-3),
         ref,
     )
+    # GenEO-production block width through the m-tiled windowed engine
+    # (VERDICT r3 ask #2: "windowed end-to-end solve at m >= 32")
+    ref32, _ = smallest_generalized(A, B, nev=32, sigma=-1e-3, tol=1e-10)
+    run(
+        f"elasticity_bsr_nev32 n={A.shape[0]}",
+        lambda: generalized_inverse(A, B, nev=32, tol=2e-3, maxiter=300,
+                                    shift=1e-3),
+        ref32,
+    )
 
     S = problems.unstructured_laplacian(nun, extra_edges=nun // 20, seed=5,
                                         fmt="scipy")

@@ -10,9 +10,10 @@ from dune_eigensolver_tpu.sparse.formats import ell_from_scipy
 from dune_eigensolver_tpu.utils.vlog import warn_fallback
 
 
-def _wide_band_ell(n=4096, bw=3000, dtype=np.float32):
+def _wide_band_ell(n=120_000, bw=55_000, dtype=np.float32):
     """Every row couples col i-bw and i+bw: full-coverage segment slots at
-    offsets +-bw force a window span far past any VMEM cap."""
+    offsets +-bw force a window span far past the VMEM cap (~50k lanes at
+    the mb=8 m-tiling floor)."""
     i = np.arange(n)
     rows = np.concatenate([i, i, i])
     cols = np.concatenate([i, np.clip(i - bw, 0, n - 1), np.clip(i + bw, 0, n - 1)])
@@ -27,7 +28,7 @@ def test_windowed_overflow_raises_and_engine_warns(capfd):
 
     A = _wide_band_ell()
     with pytest.raises(ValueError):
-        make_windowed_operands(A, m=128)
+        make_windowed_operands(A, m=8)
     capfd.readouterr()
     A_int, B_int, layout, spec = make_engine(A, m=128, force_padded=True)
     err = capfd.readouterr().err
@@ -38,8 +39,6 @@ def test_windowed_overflow_raises_and_engine_warns(capfd):
 
 def test_pick_inner_downgrade_warns(capfd):
     from dune_eigensolver_tpu.dist.sharded import _pick_inner
-
-    A = _wide_band_ell(n=512, bw=400)
 
     class _Dia:
         offsets = (-400, 0, 400)

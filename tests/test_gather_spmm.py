@@ -150,20 +150,20 @@ def test_hybrid_tail_and_window_overflow():
     # the VMEM window cap still raises (for the XLA fallback) when the
     # NEAR support itself cannot fit — m no longer moves the cap (any m is
     # served in mb blocks), so build a full-coverage wide band whose
-    # window span exceeds the mb=8 floor cap (~27k lanes at tile=512)
-    bw = 15_000
-    i = np.arange(n)
+    # window span exceeds the mb=8 floor cap (~50k lanes)
+    nw, bw = 120_000, 55_000
+    i = np.arange(nw)
     Sw = sp.coo_matrix(
         (
-            np.ones(3 * n),
+            np.ones(3 * nw),
             (
                 np.concatenate([i, i, i]),
                 np.concatenate(
-                    [i, np.clip(i - bw, 0, n - 1), np.clip(i + bw, 0, n - 1)]
+                    [i, np.clip(i - bw, 0, nw - 1), np.clip(i + bw, 0, nw - 1)]
                 ),
             ),
         ),
-        shape=(n, n),
+        shape=(nw, nw),
     ).tocsr()
     Aw = ell_from_scipy(Sw, dtype=np.float32)
     with pytest.raises(ValueError, match="window"):
