@@ -124,14 +124,36 @@ def main():
     Ad = problems.laplacian_dirichlet_2d(N, dtype=dt)
 
     def timed(fn_):
+        """(res, evals, t_first, t_solve): t_solve = best-of-3 (tunnel
+        fetches hang intermittently and only ever ADD time)."""
         t0 = time.perf_counter()
         res = fn_()
         ev = np.asarray(res.eigenvalues)
         t_first = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        res = fn_()
-        ev = np.asarray(res.eigenvalues)
-        return res, ev, t_first, time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = fn_()
+            ev = np.asarray(res.eigenvalues)
+            best = min(best, time.perf_counter() - t0)
+        return res, ev, t_first, best
+
+    def iter_slope(fn_of_maxiter, K=60, K1=12):
+        """Marginal per-iteration seconds: forced iteration counts (tol=0),
+        differenced so compile/dispatch/fetch fixed costs cancel."""
+        for k in (K, K1):  # compile both
+            _ = np.asarray(fn_of_maxiter(k).eigenvalues)
+        bK = bK1 = float("inf")
+        for _ in range(3):
+            for k in (K, K1):
+                t0 = time.perf_counter()
+                _ = np.asarray(fn_of_maxiter(k).eigenvalues)
+                t = time.perf_counter() - t0
+                if k == K:
+                    bK = min(bK, t)
+                else:
+                    bK1 = min(bK1, t)
+        return max((bK - bK1) / (K - K1), 1e-9)
 
     res_s, ev_s, tf, ts = timed(
         lambda: sharded_standard_largest(
@@ -146,6 +168,20 @@ def main():
         f"sharded={ts:.2f}s single={t1:.2f}s "
         f"maxdiff={np.abs(ev_s - ev_1).max():.2e} "
         f"(compile+first={tf:.1f}s)",
+        flush=True,
+    )
+    # marginal per-iteration cost, fixed-cost-free (forced iterations)
+    ti_s = iter_slope(
+        lambda k: sharded_standard_largest(
+            Ad, nev=8, tol=0.0, maxiter=k, mesh=mesh, spmm="padded"
+        )
+    )
+    ti_1 = iter_slope(
+        lambda k: standard_largest(Ad, nev=8, tol=0.0, maxiter=k)
+    )
+    print(
+        f"DIST_TPU largest_per_iter sharded={ti_s*1e6:.0f}us "
+        f"single={ti_1*1e6:.0f}us ratio={ti_s/ti_1:.2f}",
         flush=True,
     )
 

@@ -401,3 +401,26 @@ def test_weak_scaling_solver_phases_padded():
         for ph in ("spmm", "inner", "ortho", "rayleigh"):
             assert r[f"t_{ph}"] > 0
         assert r["t_inner"] < 3 * r["t_iter"]
+
+
+def test_sharded_program_cache_reuse():
+    # repeat solves with identical static config must reuse the jitted
+    # shard_map program (a fresh closure per call would re-trace +
+    # compile-RPC every solve — ~3 s/call through the TPU tunnel)
+    from dune_eigensolver_tpu.dist import sharded as sh
+
+    A = problems.laplacian_dirichlet_2d(16, dtype=np.float32)
+    mesh = make_mesh(2)
+    kw = dict(nev=4, tol=1e-6, maxiter=30, mesh=mesh, spmm="xla")
+    sh._PROGRAM_CACHE.clear()
+    r1 = sharded_standard_largest(A, **kw)
+    n_after_first = len(sh._PROGRAM_CACHE)
+    r2 = sharded_standard_largest(A, **kw)
+    assert len(sh._PROGRAM_CACHE) == n_after_first == 1
+    np.testing.assert_allclose(
+        np.asarray(r1.eigenvalues), np.asarray(r2.eigenvalues)
+    )
+    # different static config -> new program
+    sharded_standard_largest(A, nev=4, tol=1e-5, maxiter=30, mesh=mesh,
+                             spmm="xla")
+    assert len(sh._PROGRAM_CACHE) == 2
