@@ -496,6 +496,18 @@ def make_windowed_operands(A, B=None, tile: int = 2048, m: int = 8):
 # ---------------------------------------------------------------------------
 
 
+# roll the per-tile subgroup sweep into a lax.fori_loop instead of
+# unrolling ng = Tr/128 copies of the smax-segment body. Measured on v5e
+# (experiments/roll_ab.py): rolled compiles 3x faster (1.1 s vs 3.1 s per
+# instance) but runs 1.6x SLOWER (870 us vs 549 us at m=8 — the loop
+# carries no state, yet Mosaic schedules the gathers much worse inside
+# fori). Unrolled stays the default; the probe also showed a single
+# kernel instance compiles in seconds, so the ~79 s windowed-SOLVE
+# compiles are the SOLVE program (inner-CG while + banded factorization
+# scans + several kernel instances), not this body.
+_ROLL_G = False
+
+
 def _seg_kernel(
     offs, smax, Tr, K, mb, acc_dt,
     starts_ref, data_ref, lanes_ref, *rest,
@@ -518,18 +530,35 @@ def _seg_kernel(
             scr[kk * nbt + b] = x_refs[kk][:, 128 * b : 128 * (b + 1)]
     Pblk = (starts_ref[t] // Tr) * nbt  # slab base, in 128-blocks
     ng = Tr // 128
-    for g in range(ng):
+
+    # bf16 SOURCES are not lowerable here (probed on v5e, experiments/
+    # bf16_gather_probe.py): tpu.dynamic_gather requires index and source
+    # bitwidths to match, and jnp.take_along_axis force-upcasts indices to
+    # i32 — so a vector<...xbf16> source always pairs with i32 indices and
+    # Mosaic rejects it ("Gather indices and result have different
+    # bitwidths"). The windowed kernel therefore streams f32 (the 2x-rate
+    # bf16 mode the DIA kernel has is unavailable to gather formulations).
+
+    def subgroup(g):
         q0 = t * ng + g - Pblk  # this subgroup's own 128-block, slab-rel
         acc = jnp.zeros((mb, 128), acc_dt)
-        lanes_g = lanes_ref[:, 128 * g : 128 * (g + 1)].astype(jnp.int32)
-        data_g = data_ref[:, 128 * g : 128 * (g + 1)]
+        lanes_g = lanes_ref[:, pl.ds(128 * g, 128)].astype(jnp.int32)
+        data_g = data_ref[:, pl.ds(128 * g, 128)]
         for s in range(smax):
             q = jnp.clip(q0 + offs[s], 0, K * nbt - 1)
             xs = scr[q]  # (mb, 128) — dynamic leading-dim load
             idx = jnp.broadcast_to(lanes_g[s : s + 1], (mb, 128))
             g_s = jnp.take_along_axis(xs, idx, axis=1)
             acc = acc + data_g[s : s + 1].astype(acc_dt) * g_s.astype(acc_dt)
-        out_ref[:, 128 * g : 128 * (g + 1)] = acc.astype(out_ref.dtype)
+        out_ref[:, pl.ds(128 * g, 128)] = acc.astype(out_ref.dtype)
+
+    if _ROLL_G:
+        jax.lax.fori_loop(
+            0, ng, lambda g, _: (subgroup(g), None)[1], None
+        )
+    else:
+        for g in range(ng):
+            subgroup(g)
 
 
 def windowed_spmm_t(
@@ -562,9 +591,18 @@ def windowed_spmm_t(
         )
     if mpad % 8 != 0:
         raise ValueError(f"windowed_spmm_t: m={mpad} not a multiple of 8")
+    if not interpret and jnp.dtype(Xp.dtype).itemsize < 4:
+        raise ValueError(
+            "windowed_spmm_t: sub-32-bit multivectors cannot lower on TPU "
+            "(tpu.dynamic_gather requires index/source bitwidths to match "
+            "and take_along_axis indices are i32 — probed on v5e, "
+            "experiments/bf16_gather_probe.py); stream f32"
+        )
     nbT = width // Tr  # total Tr-slab count (width is a multiple of Tr)
     K = W // Tr + 1  # slabs covering [floor(starts/Tr)*Tr, starts + W)
-    acc_dt = jnp.float32 if Xp.dtype == jnp.float32 else Xp.dtype
+    # accumulate at least f32: narrow (bf16) operands stream/gather narrow
+    # but sum wide, like the DIA kernel
+    acc_dt = jnp.float64 if Xp.dtype == jnp.float64 else jnp.float32
     # m-tiling: serve wide multivectors in mb-row blocks on an INNER grid
     # axis — coefficients stream once per row tile (index map constant in
     # j), the X window stages per (t, j) at mb-block VMEM cost
