@@ -145,6 +145,17 @@ def main():
         primary["gather_spmm_measured"] = ga.get("stamp", "prior run")
     except Exception:
         pass
+    # Distributed-layer hardware parity (experiments/dist_tpu.py persists
+    # DIST.json): sharded-vs-single per-iteration ratio on a 1-chip mesh.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "DIST.json")) as fh:
+            di = json.load(fh)
+        primary["dist_per_iter_ratio"] = di["largest_per_iter_ratio"]
+        primary["dist_eval_maxdiff"] = di["largest_maxdiff"]
+        primary["dist_measured"] = di.get("stamp", "prior run")
+    except Exception:
+        pass
     print(json.dumps(primary), flush=True)
 
     # --- auxiliary: flagship solver time-to-eigenpairs ---

@@ -184,6 +184,24 @@ def main():
         f"single={ti_1*1e6:.0f}us ratio={ti_s/ti_1:.2f}",
         flush=True,
     )
+    # persist for bench.py's primary JSON (NORTH_STAR.json pattern)
+    import json
+    import os as _os
+
+    with open(
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "DIST.json"), "w"
+    ) as fh:
+        json.dump(
+            {
+                "largest_per_iter_ratio": round(ti_s / ti_1, 2),
+                "largest_maxdiff": float(np.abs(ev_s - ev_1).max()),
+                "n": n,
+                "stamp": time.strftime("%Y-%m-%d %H:%M:%S"),
+            },
+            fh,
+        )
+        fh.write("\n")
 
     An = problems.laplacian_neumann_2d(N, dtype=dt)
     Bn = problems.laplacian_b_2d(N, 3, dtype=dt)
