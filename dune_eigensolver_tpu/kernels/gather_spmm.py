@@ -54,7 +54,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
 from typing import Optional, Tuple
 
 import numpy as np
@@ -331,29 +330,26 @@ def _plan_segments(data, cols, n: int):
 
 def windowed_from_ell(
     A: ELLMatrix, tile: int = 2048, min_width: int = 0, m: int = 8,
-    min_window: int = 0,
 ) -> WindowedELL:
     """Rearrange an ELLMatrix for the vreg-gather kernel (host-side setup).
-    ``min_width``/``min_window`` force larger padded width / slab width
-    (operand-pair matching); ``m`` is the widest multivector the kernel
-    will stream (VMEM cap)."""
-    return _build_segmented(A, WindowedELL, {}, tile, min_width, m,
-                            min_window)
+    ``min_width`` forces a larger padded width (operand-pair matching);
+    ``m`` is accepted for API stability (the m-tiled kernel serves any
+    multiple of 8)."""
+    return _build_segmented(A, WindowedELL, {}, tile, min_width, m)
 
 
 def windowed_from_bsr(
     A: BSRMatrix, tile: int = 2048, min_width: int = 0, m: int = 8,
-    min_window: int = 0,
 ) -> WindowedBSR:
     """Rearrange a block-ELL matrix for the vreg-gather kernel (scalar
     expansion: the segment planner handles the blocked pattern natively)."""
     Ae = ell_from_scipy(A.to_scipy(), dtype=np.asarray(A.bdata).dtype)
     return _build_segmented(
-        Ae, WindowedBSR, dict(block=A.block), tile, min_width, m, min_window
+        Ae, WindowedBSR, dict(block=A.block), tile, min_width, m
     )
 
 
-def _build_segmented(A, cls, extra_meta, tile, min_width, m, min_window):
+def _build_segmented(A, cls, extra_meta, tile, min_width, m):
     n, _ = A.shape
     Tr = _round_up(max(int(tile), 128), 128)
     data = np.asarray(A.data)
@@ -386,7 +382,6 @@ def _build_segmented(A, cls, extra_meta, tile, min_width, m, min_window):
     starts, W, width_needed = _plan_windows(
         mincol, maxcol, Tr, _w_cap(m, smax, Tr)
     )
-    W = max(W, _round_up(max(int(min_window), 1), Tr))
     # width is Tr-granular (the kernel's X slabs are Tr-wide); pad tiles'
     # starts anchor at their own tile so their slab indices stay in range
     width = _round_up(max(n_pad, width_needed, int(min_width)), Tr)
@@ -457,23 +452,23 @@ def make_windowed_operands(A, B=None, tile: int = 2048, m: int = 8):
     Accepts ELL/BSR/DIA in any combination (DIA members are converted to
     ELL on the host); both operands are padded to a COMMON width on a
     COMMON scalar tile so multivectors flow through either SpMM without
-    re-marshalling (each keeps its own slab width W; the common width is a
-    multiple of both). ``m``: widest multivector the kernel will stream
-    (bounds the VMEM window). Raises ValueError when a window or segment
-    plan would overflow VMEM (callers fall back to the XLA formulations)."""
+    re-marshalling (the kernel's X slabs are Tr-granular, so the common
+    width is just the max, rounded to Tr; each operand keeps its own
+    window W). ``m`` is kept for API stability; since the m-tiling
+    rework any multiple of 8 is served regardless of the setup-time value.
+    Raises ValueError when a window or segment plan would overflow VMEM
+    (callers fall back to the XLA formulations)."""
     from dune_eigensolver_tpu.sparse.formats import DIAMatrix
 
     Tr = _round_up(max(int(tile), 128), 128)
 
-    def build(M, min_width=0, min_window=0):
+    def build(M, min_width=0):
         if isinstance(M, DIAMatrix):
             M = ell_from_scipy(M.to_scipy(), dtype=np.asarray(M.data).dtype)
         if isinstance(M, BSRMatrix):
-            return windowed_from_bsr(M, tile=Tr, min_width=min_width, m=m,
-                                     min_window=min_window)
+            return windowed_from_bsr(M, tile=Tr, min_width=min_width, m=m)
         if isinstance(M, ELLMatrix):
-            return windowed_from_ell(M, tile=Tr, min_width=min_width, m=m,
-                                     min_window=min_window)
+            return windowed_from_ell(M, tile=Tr, min_width=min_width, m=m)
         raise TypeError(f"make_windowed_operands: unsupported {type(M)}")
 
     A_int = build(A)
