@@ -270,6 +270,11 @@ def lobpcg_generalized(
             random_multivector_t(jax.random.PRNGKey(seed), n, m, dtype), layout
         )
     if b_identity and apply_b is None:
+        # opt-in device-side verification of the caller's assertion
+        # (ev.paranoid=1 / set_paranoid(True)); no-op otherwise
+        from dune_eigensolver_tpu.utils.paranoid import b_identity_check
+
+        b_identity_check(B if not dist_mode else None)
         apply_b = _identity_apply
     cfg = (
         nev,

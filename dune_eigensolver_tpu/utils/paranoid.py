@@ -38,6 +38,37 @@ def paranoid_enabled() -> bool:
     return _PARANOID
 
 
+def b_identity_check(B, tol: float = 1e-6) -> None:
+    """Paranoid-mode verification of the ``b_identity=True`` caller
+    assertion (VERDICT r3 Weak #7): applies B to a probe vector ON DEVICE
+    and alarms via ``jax.debug.print`` if ``max |B 1 - 1|`` exceeds
+    ``tol`` — no host fetch (the tunnel hazard that justifies leaving the
+    assertion unchecked by default, CLAUDE.md). One extra SpMM dispatch,
+    paranoid mode only."""
+    if not _PARANOID or B is None:
+        return
+    from dune_eigensolver_tpu.sparse.spmm import spmm
+
+    @jax.jit
+    def check(Bop):
+        v = jnp.ones((Bop.shape[0], 1), Bop.dtype)
+        bad = jnp.max(jnp.abs(spmm(Bop, v) - v)) > tol
+
+        def alarm(_):
+            jax.debug.print(
+                "PARANOID: b_identity=True but max |B@1 - 1| exceeds "
+                "{} - the caller's identity assertion is WRONG and all "
+                "B-applies are being skipped",
+                tol,
+            )
+            return 0
+
+        lax.cond(bad, alarm, lambda _: 0, 0)
+        return 0
+
+    check(B)
+
+
 def nan_check(Y: jax.Array, tag: str) -> jax.Array:
     """Identity pass-through that, in paranoid mode, alarms on non-finite
     values in the first lane block of ``Y`` (cheap: 128 lanes x all

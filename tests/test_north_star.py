@@ -83,3 +83,32 @@ def test_north_star_full_ortho_stays_excluded():
         "bench.py north-star recipe must not use ortho_block='full' "
         "(NaNs in f32 at production n) without re-validating on hardware"
     )
+
+
+def test_paranoid_b_identity_check(capfd):
+    """ev.paranoid-style opt-in verification of the b_identity assertion
+    (VERDICT r3 Weak #7): a wrong assertion alarms from the device; a
+    correct one stays silent."""
+    from dune_eigensolver_tpu.solvers import lobpcg_generalized
+    from dune_eigensolver_tpu.utils.paranoid import set_paranoid
+
+    A = problems.laplacian_dirichlet_2d(12, dtype=np.float32)
+    n = A.shape[0]
+    B_id = DIAMatrix(
+        data=jnp.ones((1, n), np.float32), offsets=(0,), shape=A.shape
+    )
+    B_mass = problems.laplacian_b_2d(12, 3, dtype=np.float32)
+    kw = dict(nev=4, tol=1e-3, maxiter=8, shift=1e-3, b_identity=True,
+              precond=False)
+    set_paranoid(True)
+    try:
+        capfd.readouterr()
+        lobpcg_generalized(A, B_id, **kw)
+        assert "PARANOID" not in capfd.readouterr().out
+        lobpcg_generalized(A, B_mass, **kw)
+        import jax
+
+        jax.effects_barrier()
+        assert "PARANOID" in capfd.readouterr().out
+    finally:
+        set_paranoid(False)
