@@ -3,6 +3,11 @@ from dune_eigensolver_tpu.dist.mg import (
     make_sharded_mg_prec_fn,
     sharded_mg_geometry,
 )
+from dune_eigensolver_tpu.dist.windowed import (
+    sharded_lobpcg_general,
+    sharded_standard_largest_general,
+    windowed_shard_plan,
+)
 from dune_eigensolver_tpu.dist.sharded import (
     dia_spmm_halo,
     dia_spmm_halo_t,
@@ -34,4 +39,7 @@ __all__ = [
     "sharded_lobpcg_generalized",
     "sharded_standard_inverse",
     "sharded_standard_largest",
+    "sharded_lobpcg_general",
+    "sharded_standard_largest_general",
+    "windowed_shard_plan",
 ]

@@ -1,0 +1,485 @@
+"""Row-partitioned GENERAL-sparsity execution: the windowed-gather Pallas
+SpMM under ``shard_map``.
+
+dist/sharded.py distributes the structured (DIA) operand class; this module
+extends the distributed layer to the reference's native operand class —
+arbitrary CSR/BCRS patterns (kernels_cpp.hh:626-657) as ELL / block-ELL.
+The reference itself has no distributed execution at all (MPI deliberately
+disabled, src/dune-eigensolver.cc:742-748).
+
+Design:
+
+* rows are split into P equal shards; after an RCM-style ordering the
+  pattern's bandwidth ``halo = max |col - row|`` is bounded, so a shard's
+  SpMM needs only its neighbors' boundary rows — the same
+  ``lax.ppermute`` halo exchange as the DIA path (``halo_exchange_t``).
+* each shard's local block is re-planned HOST-SIDE into a ``WindowedELL``
+  over its halo-EXTENDED column space ``[r0 - halo, r1 + halo)`` (edge
+  shards read the zero fill ppermute provides, matching the planner's
+  zero-coefficient guards).
+* shard_map needs one static kernel for every shard, so the per-shard
+  plans are UNIFIED: segment slots are merged by (block offset, rank)
+  with per-offset multiplicity maxed across shards (absent slots carry
+  zero coefficients), window/width/tail sizes are maxed, and the per-shard
+  arrays are stacked on a leading shard axis that ``in_specs`` splits.
+* the hot loop inside shard_map is then: halo exchange -> zero-pad to the
+  unified width -> ``windowed_spmm_t`` (the m-tiled vreg-gather kernel)
+  -> slice the local rows. Gram reductions psum as usual.
+
+v1 scope: ``n`` must divide the mesh size (the DIA drivers' identity-row
+padding needs a main-diagonal slot that general patterns may lack — pad
+the operator host-side instead), and the halo exchange completes before
+the kernel launches (the DIA path's interior/collective overlap applies
+only to its slice formulation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dune_eigensolver_tpu.dist.mesh import ROW_AXIS, make_mesh
+from dune_eigensolver_tpu.dist.sharded import (
+    _cached_program,
+    _mesh_key,
+    _on_tpu,
+    _result_specs,
+    _slice_result,
+    halo_exchange_t,
+    psum_reduce,
+)
+from dune_eigensolver_tpu.kernels.gather_spmm import (
+    WindowedELL,
+    _build_segmented,
+    _round_up,
+    windowed_spmm_t,
+)
+from dune_eigensolver_tpu.sparse.formats import (
+    BSRMatrix,
+    DIAMatrix,
+    ELLMatrix,
+    ell_from_scipy,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class WindowedShardPlan:
+    """P per-shard WindowedELL containers with UNIFIED static metadata,
+    stacked on a leading shard axis (split by shard_map in_specs)."""
+
+    data: jax.Array  # (P, smax_u, width_u)
+    lanes: jax.Array  # (P, smax_u, width_u) int8
+    starts: jax.Array  # (P, nt_u) int32
+    far_rows: jax.Array  # (P, nfar_u) int32
+    far_cols: jax.Array  # (P, nfar_u) int32
+    far_vals: jax.Array  # (P, nfar_u)
+    offs: Tuple[int, ...]  # unified static per-segment block offsets
+    shape: Tuple[int, int]  # static per-shard logical (nloc, next)
+    tile: int
+    window: int
+    nnz: int  # max per-shard nnz (cost-estimate grade)
+    far_nnz: int  # max per-shard tail length (0 = no tail anywhere)
+    halo: int
+    nloc: int
+    n: int  # global rows
+
+    @property
+    def width(self) -> int:
+        return self.data.shape[-1]
+
+
+jax.tree_util.register_dataclass(
+    WindowedShardPlan,
+    data_fields=["data", "lanes", "starts", "far_rows", "far_cols",
+                 "far_vals"],
+    meta_fields=["offs", "shape", "tile", "window", "nnz", "far_nnz",
+                 "halo", "nloc", "n"],
+)
+
+
+def _to_scipy(A):
+    if isinstance(A, (ELLMatrix, BSRMatrix, DIAMatrix)):
+        return A.to_scipy().tocsr()
+    import scipy.sparse as sp
+
+    if sp.issparse(A):
+        return A.tocsr()
+    raise TypeError(f"windowed_shard_plan: unsupported operand {type(A)}")
+
+
+def windowed_shard_plan(
+    A, P_shards: int, tile: int = 2048, m: int = 8
+) -> WindowedShardPlan:
+    """Host-side planning: split, re-plan per shard, unify, stack."""
+    import scipy.sparse as sp
+
+    S = _to_scipy(A)
+    n = S.shape[0]
+    if S.shape[0] != S.shape[1]:
+        raise ValueError("windowed_shard_plan: operator must be square")
+    if n % P_shards != 0:
+        raise ValueError(
+            f"windowed_shard_plan: n={n} not divisible by {P_shards} shards"
+            " — pad the operator host-side (general patterns have no"
+            " guaranteed diagonal slot for implicit identity pad rows)"
+        )
+    nloc = n // P_shards
+    coo = S.tocoo()
+    halo = int(np.abs(coo.col - coo.row).max()) if coo.nnz else 0
+    if halo > nloc:
+        raise ValueError(
+            f"windowed_shard_plan: bandwidth {halo} exceeds local rows "
+            f"{nloc}; use fewer shards or reorder (RCM) first"
+        )
+    next_ = nloc + 2 * halo
+
+    dtype = S.dtype
+    shards: List[WindowedELL] = []
+    for i in range(P_shards):
+        r0 = i * nloc
+        Sl = S[r0 : r0 + nloc, :].tocoo()
+        # shift to the halo-extended local column space; all entries land
+        # in [0, next_) because |col - row| <= halo
+        cols_ext = Sl.col - (r0 - halo)
+        assert cols_ext.min() >= 0 and cols_ext.max() < next_
+        Sl_ext = sp.coo_matrix(
+            (Sl.data, (Sl.row, cols_ext)), shape=(nloc, next_)
+        ).tocsr()
+        Ae = ell_from_scipy(Sl_ext, dtype=dtype)
+        shards.append(_build_segmented(Ae, WindowedELL, {}, tile, 0, m))
+
+    Tr = shards[0].tile
+    # --- unify segment slots: per offset value, max multiplicity ---
+    def _mult(c):
+        mult = {}
+        for o in c.offs:
+            mult[o] = mult.get(o, 0) + 1
+        return mult
+
+    union: dict = {}
+    for c in shards:
+        for o, k in _mult(c).items():
+            union[o] = max(union.get(o, 0), k)
+    offs_u = tuple(o for o in sorted(union) for _ in range(union[o]))
+    smax_u = max(len(offs_u), 1)
+    slot_of = {}  # (offset, rank) -> unified row
+    for j, o in enumerate(offs_u):
+        r = sum(1 for oo in offs_u[:j] if oo == o)
+        slot_of[(o, r)] = j
+
+    # --- unify window / width / tail sizes ---
+    W_u = max(c.window for c in shards)
+    K_u = W_u // Tr + 1
+    nt_real = -(-nloc // Tr)
+    width_u = max(max(c.width for c in shards), next_)
+    for c in shards:
+        st = np.asarray(c.starts)[:nt_real]
+        if len(st):
+            width_u = max(width_u, (int(st.max()) // Tr + K_u) * Tr)
+    width_u = _round_up(width_u, Tr)
+    nt_u = width_u // Tr
+    far_u = max(c.far_nnz for c in shards)
+    nfar_u = max(int(np.asarray(c.far_rows).shape[0]) for c in shards)
+    if far_u:
+        nfar_u = _round_up(max(nfar_u, 1), 128)
+
+    data = np.zeros((P_shards, smax_u, width_u), np.dtype(dtype))
+    lanes = np.zeros((P_shards, smax_u, width_u), np.int8)
+    starts = np.tile(
+        (np.arange(nt_u, dtype=np.int32) * Tr)[None, :], (P_shards, 1)
+    )
+    far_rows = np.zeros((P_shards, nfar_u), np.int32)
+    far_cols = np.zeros((P_shards, nfar_u), np.int32)
+    far_vals = np.zeros((P_shards, nfar_u), np.dtype(dtype))
+    for i, c in enumerate(shards):
+        seen: dict = {}
+        cd = np.asarray(c.data)
+        cl = np.asarray(c.lanes)
+        for j, o in enumerate(c.offs):
+            r = seen.get(o, 0)
+            seen[o] = r + 1
+            u = slot_of[(o, r)]
+            w = cd.shape[1]
+            data[i, u, :w] = cd[j]
+            lanes[i, u, :w] = cl[j]
+        st = np.asarray(c.starts)
+        starts[i, : st.shape[0]] = st
+        # pad-region anchors beyond the shard's own nt keep the t*Tr rule
+        fr = np.asarray(c.far_rows)
+        far_rows[i, : fr.shape[0]] = fr
+        far_cols[i, : fr.shape[0]] = np.asarray(c.far_cols)
+        far_vals[i, : fr.shape[0]] = np.asarray(c.far_vals)
+
+    return WindowedShardPlan(
+        data=jnp.asarray(data),
+        lanes=jnp.asarray(lanes),
+        starts=jnp.asarray(starts),
+        far_rows=jnp.asarray(far_rows),
+        far_cols=jnp.asarray(far_cols),
+        far_vals=jnp.asarray(far_vals),
+        offs=offs_u,
+        shape=(nloc, next_),
+        tile=Tr,
+        window=W_u,
+        nnz=max(c.nnz for c in shards),
+        far_nnz=far_u,
+        halo=halo,
+        nloc=nloc,
+        n=n,
+    )
+
+
+def _shard_container(plan: WindowedShardPlan, arrs) -> WindowedELL:
+    """Rebuild this shard's WindowedELL from the traced per-shard slices
+    (leading shard axis already split by in_specs)."""
+    data, lanes, starts, fr, fc, fv = arrs
+    return WindowedELL(
+        data=data[0],
+        lanes=lanes[0],
+        starts=starts[0],
+        far_rows=fr[0],
+        far_cols=fc[0],
+        far_vals=fv[0],
+        offs=plan.offs,
+        shape=plan.shape,
+        tile=plan.tile,
+        window=plan.window,
+        nnz=plan.nnz,
+        far_nnz=plan.far_nnz,
+    )
+
+
+def windowed_spmm_halo_t(
+    plan: WindowedShardPlan,
+    op: WindowedELL,
+    x_local: jax.Array,
+    axis: str = ROW_AXIS,
+    interpret: bool = False,
+) -> jax.Array:
+    """Local rows of ``(A @ X)^T`` for the row-sharded general operand:
+    ppermute halo exchange -> unified-width zero pad -> windowed kernel ->
+    local-row slice. x_local: (m, nloc)."""
+    m = x_local.shape[0]
+    x_ext = halo_exchange_t(x_local, plan.halo, axis)
+    Xw = jnp.pad(x_ext, ((0, 0), (0, plan.width - x_ext.shape[1])))
+    Y = windowed_spmm_t(op, Xw, interpret=interpret)
+    return Y[:, : plan.nloc]
+
+
+def _shard_diag(plan: WindowedShardPlan, op: WindowedELL) -> jax.Array:
+    """(nloc,) main diagonal of this shard's local block: in the extended
+    column space the diagonal of local row i sits at column i + halo."""
+    lane = jnp.arange(op.width, dtype=jnp.int32)
+    on = (op._cols_abs() == (lane + plan.halo)[None, :]) & (op.data != 0)
+    diag = jnp.sum(jnp.where(on, op.data, 0), axis=0)
+    if plan.far_nnz:
+        hit = (op.far_cols == op.far_rows + plan.halo) & (op.far_vals != 0)
+        diag = diag.at[op.far_rows].add(jnp.where(hit, op.far_vals, 0))
+    valid = lane < plan.nloc
+    return jnp.where(valid, diag, jnp.asarray(1.0, op.dtype))[: plan.nloc]
+
+
+def _plan_arrays(plan):
+    return (plan.data, plan.lanes, plan.starts, plan.far_rows,
+            plan.far_cols, plan.far_vals)
+
+
+def _plan_specs(axis):
+    return tuple(P(axis, *(None,) * 2) for _ in range(2)) + tuple(
+        P(axis, None) for _ in range(4)
+    )
+
+
+def sharded_standard_largest_general(
+    A,
+    nev: int,
+    tol: float,
+    maxiter: int,
+    shift: float = 0.0,
+    mesh: Optional[Mesh] = None,
+    block: int = 8,
+    seed: int = 123,
+    ortho_iterations: int = 1,
+    rayleigh_ritz: bool = False,
+    axis: str = ROW_AXIS,
+    tile: int = 2048,
+):
+    """Multi-chip ``standard_largest`` on a GENERAL (ELL/BSR/scipy)
+    operand through the windowed-gather kernel. Same semantics as the DIA
+    driver; ``shift`` is applied host-side into the plan."""
+    from dune_eigensolver_tpu.solvers.standard import (
+        _largest_core,
+        padded_width,
+        random_multivector_t,
+    )
+
+    mesh = mesh or make_mesh(axis=axis)
+    ndev = int(mesh.shape[axis])
+    S = _to_scipy(A)
+    if shift != 0.0:
+        import scipy.sparse as sp
+
+        S = (S + shift * sp.eye(S.shape[0], dtype=S.dtype)).tocsr()
+    m = padded_width(nev, block)
+    plan = windowed_shard_plan(S, ndev, tile=tile, m=m)
+    n = plan.n
+    interpret = not _on_tpu()
+    Q0 = jax.device_put(
+        random_multivector_t(jax.random.PRNGKey(seed), n, m, S.dtype),
+        NamedSharding(mesh, P(None, axis)),
+    )
+    reduce_ = psum_reduce(axis)
+
+    def local_solver(q0, *arrs):
+        op = _shard_container(plan, arrs)
+        apply_a = lambda X: windowed_spmm_halo_t(  # noqa: E731
+            plan, op, X, axis=axis, interpret=interpret
+        )
+        cfg = (
+            nev, float(tol), int(maxiter), float(shift), int(block),
+            int(ortho_iterations), bool(rayleigh_ritz), int(n),
+            jnp.dtype(S.dtype),
+        )
+        return _largest_core(None, q0, (apply_a, reduce_), cfg)
+
+    key = (
+        "largest_general", _mesh_key(mesh), axis, interpret, plan.offs, plan.shape,
+        plan.tile, plan.window, plan.far_nnz, nev, float(tol),
+        int(maxiter), float(shift), int(block), int(ortho_iterations),
+        bool(rayleigh_ritz), str(np.dtype(S.dtype)), m,
+    )
+    fn = _cached_program(
+        key,
+        lambda: jax.jit(
+            jax.shard_map(
+                local_solver,
+                mesh=mesh,
+                in_specs=(P(None, axis),) + _plan_specs(axis),
+                out_specs=_result_specs(axis),
+                check_vma=False,
+            )
+        ),
+    )
+    return _slice_result(fn(Q0, *_plan_arrays(plan)), n)
+
+
+def sharded_lobpcg_general(
+    A,
+    B=None,
+    nev: int = 8,
+    tol: float = 2e-3,
+    maxiter: int = 200,
+    shift: float = 1e-3,
+    reg: float = 0.0,
+    mesh: Optional[Mesh] = None,
+    block: int = 8,
+    seed: int = 123,
+    min_iter: int = 3,
+    ortho_eps: float = 1e-9,
+    cg_rtol: float = 1e-2,
+    cg_maxiter: int = 50,
+    axis: str = ROW_AXIS,
+    tile: int = 2048,
+    ortho_block=None,
+):
+    """Multi-chip preconditioned LOBPCG (smallest eigenpairs) on a GENERAL
+    operand pair. ``B=None`` means the identity pencil (standard problem);
+    otherwise B is planned onto the same sharding and applied through the
+    windowed kernel too. Preconditioner: per-shard Jacobi-CG on the shifted
+    operator (loose, matrix-free), Gram reductions psum over the mesh."""
+    import scipy.sparse as sp
+
+    from dune_eigensolver_tpu.factorize.cg import cg_solve_t
+    from dune_eigensolver_tpu.solvers.lobpcg import _lobpcg_core
+    from dune_eigensolver_tpu.solvers.standard import (
+        padded_width,
+        random_multivector_t,
+    )
+
+    mesh = mesh or make_mesh(axis=axis)
+    ndev = int(mesh.shape[axis])
+    S = _to_scipy(A)
+    n = S.shape[0]
+    Sb = None if B is None else _to_scipy(B)
+    S_op = S
+    if shift != 0.0:
+        S_op = S_op + shift * (
+            sp.eye(n, dtype=S.dtype) if Sb is None else Sb
+        )
+    if reg != 0.0:
+        S_op = S_op + reg * sp.eye(n, dtype=S.dtype)
+    m = padded_width(nev, block)
+    plan_a = windowed_shard_plan(S_op.tocsr(), ndev, tile=tile, m=3 * m)
+    plan_b = (
+        None
+        if Sb is None
+        else windowed_shard_plan(Sb, ndev, tile=tile, m=3 * m)
+    )
+    interpret = not _on_tpu()
+    Q0 = jax.device_put(
+        random_multivector_t(jax.random.PRNGKey(seed), n, m, S.dtype),
+        NamedSharding(mesh, P(None, axis)),
+    )
+    reduce_ = psum_reduce(axis)
+    n_b_arrs = 0 if plan_b is None else 6
+
+    def local_solver(q0, *arrs):
+        op_a = _shard_container(plan_a, arrs[:6])
+        apply_a = lambda X: windowed_spmm_halo_t(  # noqa: E731
+            plan_a, op_a, X, axis=axis, interpret=interpret
+        )
+        if plan_b is None:
+            apply_b = lambda X: X  # noqa: E731
+        else:
+            op_b = _shard_container(plan_b, arrs[6:12])
+            apply_b = lambda X: windowed_spmm_halo_t(  # noqa: E731
+                plan_b, op_b, X, axis=axis, interpret=interpret
+            )
+        inv_diag = 1.0 / _shard_diag(plan_a, op_a)
+
+        def prec_fn(_aux, X):
+            Y, _ = cg_solve_t(
+                apply_a, X, inv_diag=inv_diag, rtol=cg_rtol,
+                maxiter=cg_maxiter, gram_reduce=reduce_,
+            )
+            return Y
+
+        cfg = (
+            nev, float(tol), int(maxiter), float(shift), int(block),
+            int(min_iter), float(ortho_eps), int(n), jnp.dtype(S.dtype),
+            2, ortho_block,
+        )
+        hooks = (apply_a, apply_b, reduce_, prec_fn)
+        return _lobpcg_core(None, None, None, q0, hooks, cfg)
+
+    key = (
+        "lobpcg_general", _mesh_key(mesh), axis, interpret, plan_a.offs, plan_a.shape,
+        plan_a.tile, plan_a.window, plan_a.far_nnz,
+        None if plan_b is None else (plan_b.offs, plan_b.window,
+                                     plan_b.far_nnz),
+        nev, float(tol), int(maxiter), float(shift), float(reg), int(block),
+        int(min_iter), float(ortho_eps), float(cg_rtol), int(cg_maxiter),
+        ortho_block, str(np.dtype(S.dtype)), m,
+    )
+    b_arrs = () if plan_b is None else _plan_arrays(plan_b)
+    fn = _cached_program(
+        key,
+        lambda: jax.jit(
+            jax.shard_map(
+                local_solver,
+                mesh=mesh,
+                in_specs=(P(None, axis),)
+                + _plan_specs(axis)
+                + (_plan_specs(axis) if plan_b is not None else ()),
+                out_specs=_result_specs(axis),
+                check_vma=False,
+            )
+        ),
+    )
+    return _slice_result(fn(Q0, *_plan_arrays(plan_a), *b_arrs), n)
