@@ -4,6 +4,7 @@ from dune_eigensolver_tpu.dist.mg import (
     sharded_mg_geometry,
 )
 from dune_eigensolver_tpu.dist.windowed import (
+    sharded_generalized_inverse_general,
     sharded_lobpcg_general,
     sharded_standard_largest_general,
     windowed_shard_plan,
@@ -39,6 +40,7 @@ __all__ = [
     "sharded_lobpcg_generalized",
     "sharded_standard_inverse",
     "sharded_standard_largest",
+    "sharded_generalized_inverse_general",
     "sharded_lobpcg_general",
     "sharded_standard_largest_general",
     "windowed_shard_plan",

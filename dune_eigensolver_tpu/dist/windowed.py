@@ -483,3 +483,110 @@ def sharded_lobpcg_general(
         ),
     )
     return _slice_result(fn(Q0, *_plan_arrays(plan_a), *b_arrs), n)
+
+
+def sharded_generalized_inverse_general(
+    A,
+    B,
+    nev: int,
+    tol: float,
+    maxiter: int,
+    shift: float = 0.0,
+    reg: float = 0.0,
+    mesh: Optional[Mesh] = None,
+    block: int = 8,
+    seed: int = 123,
+    min_iter: int = 10,
+    ortho_iterations: int = 1,
+    rayleigh_ritz: bool = False,
+    cg_rtol: float = 1e-6,
+    cg_maxiter: int = 2000,
+    axis: str = ROW_AXIS,
+    tile: int = 2048,
+):
+    """Multi-chip ``generalized_inverse`` (shift-invert subspace iteration)
+    on a GENERAL operand pair through the windowed kernel. The inner
+    inverse is a converging per-shard-Jacobi-preconditioned global CG on
+    the shifted operator (the general-pattern analogue of the DIA driver's
+    ``inner='cg'``; Schwarz block factorization needs a banded local block
+    and stays DIA-only)."""
+    import scipy.sparse as sp
+
+    from dune_eigensolver_tpu.factorize.cg import cg_solve_t
+    from dune_eigensolver_tpu.solvers.generalized import _gen_core
+    from dune_eigensolver_tpu.solvers.standard import (
+        padded_width,
+        random_multivector_t,
+    )
+
+    mesh = mesh or make_mesh(axis=axis)
+    ndev = int(mesh.shape[axis])
+    S = _to_scipy(A)
+    Sb = _to_scipy(B)
+    n = S.shape[0]
+    S_op = S
+    if shift != 0.0:
+        S_op = S_op + shift * Sb
+    if reg != 0.0:
+        S_op = S_op + reg * sp.eye(n, dtype=S.dtype)
+    m = padded_width(nev, block)
+    plan_a = windowed_shard_plan(S_op.tocsr(), ndev, tile=tile, m=m)
+    plan_b = windowed_shard_plan(Sb, ndev, tile=tile, m=m)
+    interpret = not _on_tpu()
+    Q0 = jax.device_put(
+        random_multivector_t(jax.random.PRNGKey(seed), n, m, S.dtype),
+        NamedSharding(mesh, P(None, axis)),
+    )
+    reduce_ = psum_reduce(axis)
+
+    def local_solver(q0, *arrs):
+        op_a = _shard_container(plan_a, arrs[:6])
+        op_b = _shard_container(plan_b, arrs[6:12])
+        apply_a = lambda X: windowed_spmm_halo_t(  # noqa: E731
+            plan_a, op_a, X, axis=axis, interpret=interpret
+        )
+        apply_b = lambda X: windowed_spmm_halo_t(  # noqa: E731
+            plan_b, op_b, X, axis=axis, interpret=interpret
+        )
+        inv_diag = 1.0 / _shard_diag(plan_a, op_a)
+
+        def inv_fn(_aux, X):
+            Y, _ = cg_solve_t(
+                apply_a, X, inv_diag=inv_diag, rtol=cg_rtol,
+                maxiter=cg_maxiter, gram_reduce=reduce_,
+            )
+            return Y
+
+        cfg = (
+            nev, float(tol), int(maxiter), float(shift), int(block),
+            int(min_iter), int(ortho_iterations), bool(rayleigh_ritz),
+            int(n), jnp.dtype(S.dtype),
+        )
+        hooks = (apply_a, apply_b, reduce_, inv_fn)
+        return _gen_core(None, None, None, q0, hooks, cfg)
+
+    key = (
+        "generalized_general", _mesh_key(mesh), axis, interpret,
+        plan_a.offs, plan_a.shape, plan_a.tile, plan_a.window,
+        plan_a.far_nnz, plan_b.offs, plan_b.window, plan_b.far_nnz, nev,
+        float(tol), int(maxiter), float(shift), float(reg), int(block),
+        int(min_iter), int(ortho_iterations), bool(rayleigh_ritz),
+        float(cg_rtol), int(cg_maxiter), str(np.dtype(S.dtype)), m,
+    )
+    fn = _cached_program(
+        key,
+        lambda: jax.jit(
+            jax.shard_map(
+                local_solver,
+                mesh=mesh,
+                in_specs=(P(None, axis),)
+                + _plan_specs(axis)
+                + _plan_specs(axis),
+                out_specs=_result_specs(axis),
+                check_vma=False,
+            )
+        ),
+    )
+    return _slice_result(
+        fn(Q0, *_plan_arrays(plan_a), *_plan_arrays(plan_b)), n
+    )

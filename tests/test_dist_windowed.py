@@ -169,3 +169,29 @@ def test_windowed_shard_plan_validation():
     ).tocsr()
     with pytest.raises(ValueError, match="bandwidth"):
         windowed_shard_plan(Sw, 4)
+
+
+def test_sharded_generalized_inverse_general_vs_oracle():
+    from dune_eigensolver_tpu.dist import sharded_generalized_inverse_general
+    from dune_eigensolver_tpu.oracle.scipy_oracle import smallest_generalized
+
+    N = 32
+    A = problems.laplacian_neumann_2d(N, dtype=np.float32)
+    B = problems.laplacian_b_2d(N, 3, dtype=np.float32)
+    Sa, Sb = A.to_scipy(), B.to_scipy()
+    ref, _ = smallest_generalized(A, B, nev=4, sigma=-1e-3, tol=1e-10)
+    res = sharded_generalized_inverse_general(
+        Sa, Sb, nev=4, tol=1e-5, maxiter=60, shift=1e-3, mesh=make_mesh(4),
+        tile=128, cg_rtol=1e-8, cg_maxiter=400,
+    )
+    ev = np.sort(np.asarray(res.eigenvalues))[:4]
+    scale = max(abs(float(ref.max())), 1e-12)
+    assert np.abs(ev - ref).max() / scale < 2e-2, (ev, ref)
+    # matches the single-chip generalized_inverse on the same pencil
+    from dune_eigensolver_tpu.solvers import generalized_inverse
+
+    res_1 = generalized_inverse(
+        A, B, nev=4, tol=1e-5, maxiter=60, shift=1e-3
+    )
+    ev_1 = np.sort(np.asarray(res_1.eigenvalues))[:4]
+    assert np.abs(ev - ev_1).max() / scale < 2e-2, (ev, ev_1)
