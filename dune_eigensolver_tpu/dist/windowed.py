@@ -265,7 +265,6 @@ def windowed_spmm_halo_t(
     """Local rows of ``(A @ X)^T`` for the row-sharded general operand:
     ppermute halo exchange -> unified-width zero pad -> windowed kernel ->
     local-row slice. x_local: (m, nloc)."""
-    m = x_local.shape[0]
     x_ext = halo_exchange_t(x_local, plan.halo, axis)
     Xw = jnp.pad(x_ext, ((0, 0), (0, plan.width - x_ext.shape[1])))
     Y = windowed_spmm_t(op, Xw, interpret=interpret)
@@ -427,7 +426,6 @@ def sharded_lobpcg_general(
         NamedSharding(mesh, P(None, axis)),
     )
     reduce_ = psum_reduce(axis)
-    n_b_arrs = 0 if plan_b is None else 6
 
     def local_solver(q0, *arrs):
         op_a = _shard_container(plan_a, arrs[:6])
