@@ -380,6 +380,32 @@ def eigenvalues_test(ptree) -> dict:
         )
         ev = np.asarray(res.eigenvalues)
         iters = int(res.iterations)
+    elif method == "dist_general":
+        # the GENERAL-sparsity distributed path (dist/windowed.py): same
+        # pencil, containers converted to scipy so the row-sharded
+        # windowed vreg-gather kernel serves the SpMMs
+        from dune_eigensolver_tpu.dist import (
+            make_mesh,
+            sharded_generalized_inverse_general,
+        )
+
+        nd = int(ptree["parallel.ndevices"]) or len(jax.devices())
+        res, t = _timed(
+            lambda: sharded_generalized_inverse_general(
+                A.to_scipy(),
+                B.to_scipy(),
+                nev=m,
+                tol=float(ptree["ev.tol"]),
+                maxiter=int(ptree["ev.maxiter"]),
+                shift=float(ptree["ev.shift"]),
+                mesh=make_mesh(nd),
+                seed=int(ptree["ev.seed"]),
+                cg_rtol=1e-8,
+                cg_maxiter=500,
+            )
+        )
+        ev = np.asarray(res.eigenvalues)
+        iters = int(res.iterations)
     elif method == "adaptive":
         # GenEO coarse-space selection (arpack_geneo_wrapper.hh:661-774):
         # grow nev by ev.growth until lambda_max >= ev.threshold.

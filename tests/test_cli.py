@@ -119,6 +119,24 @@ def test_eigenvalues_test_dist():
     assert np.isfinite(r["eigenvalues"]).all()
 
 
+def test_eigenvalues_test_dist_general():
+    # the general-sparsity distributed path on the same pencil must agree
+    # with the DIA distributed path (same solver semantics, different
+    # SpMM engine + containers)
+    from dune_eigensolver_tpu.cli import eigenvalues_test
+
+    kw = {"ev.N": 16, "parallel.ndevices": 4, "ev.maxiter": 60,
+          "ev.tol": 1e-5}
+    r_g = eigenvalues_test(
+        _small_ptree(**{"ev.method": "dist_general", **kw})
+    )
+    r_d = eigenvalues_test(_small_ptree(**{"ev.method": "dist", **kw}))
+    assert np.isfinite(r_g["eigenvalues"]).all()
+    np.testing.assert_allclose(
+        r_g["eigenvalues"], r_d["eigenvalues"], atol=5e-4
+    )
+
+
 def test_roofline_models():
     from dune_eigensolver_tpu.bench import models
 
