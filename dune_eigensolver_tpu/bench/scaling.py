@@ -34,6 +34,20 @@ def _pick_mode(spmm: Optional[str]) -> str:
     return spmm
 
 
+# two-K slopes below this are timer noise (the subtraction of two wall
+# clocks), not a per-iteration time; an efficiency ratio against them is
+# garbage (the r4 SCALING log printed eff=20611458 from a 0 us slope —
+# VERDICT r4 Weak #1). Such rows report efficiency = nan and must be
+# excluded from any scaling claim.
+_EFF_FLOOR = 1e-7
+
+
+def _efficiency(t1: Optional[float], t: float) -> float:
+    if t1 is None or t1 <= _EFF_FLOOR or t <= _EFF_FLOOR:
+        return float("nan")
+    return t1 / t
+
+
 def _two_k_slope(make_chain, args, K: int, reps: int = 3) -> float:
     """Per-iteration time of a k-chained program by the two-K slope method
     (bench/timing.py): (T(K) - T(K/5)) / (K - K/5). Through a tunneled TPU
@@ -133,7 +147,7 @@ def weak_scaling_spmm(
         best = _two_k_slope(make_chain, (A_sh.data, Xt), n_iter)
         if t1 is None:
             t1 = best
-        eff = t1 / best
+        eff = _efficiency(t1, best)
         rec = dict(
             devices=p,
             rows=n,
@@ -303,7 +317,7 @@ def weak_scaling_solver(
         best = timed("full")
         if t1 is None:
             t1 = best
-        eff = t1 / best
+        eff = _efficiency(t1, best)
         rec = dict(
             devices=p, rows=n, t_iter=best, efficiency=eff, inner=inner,
             mode=mode,

@@ -26,11 +26,14 @@ Design:
   unified width -> ``windowed_spmm_t`` (the m-tiled vreg-gather kernel)
   -> slice the local rows. Gram reductions psum as usual.
 
-v1 scope: ``n`` must divide the mesh size (the DIA drivers' identity-row
-padding needs a main-diagonal slot that general patterns may lack — pad
-the operator host-side instead), and the halo exchange completes before
-the kernel launches (the DIA path's interior/collective overlap applies
-only to its slice formulation).
+Any ``n`` is accepted: ``windowed_shard_plan`` pads non-divisible row
+counts host-side with decoupled identity/zero diagonal rows (the DIA
+drivers' convention — pad lanes stay exactly zero; r4's v1 required
+``n % P == 0``). ``windowed_spmm_halo_t`` overlaps the ppermute with the
+interior rows by default (``overlap_interior``): rows whose gather window
+lies inside the local lanes run on a halo-independent kernel instance
+that XLA can schedule against the collective; only the boundary tiles
+consume the exchanged slabs (r4's v1 serialized exchange before kernel).
 """
 
 from __future__ import annotations
@@ -58,6 +61,7 @@ from dune_eigensolver_tpu.kernels.gather_spmm import (
     WindowedELL,
     _build_segmented,
     _round_up,
+    _validate_vmem,
     windowed_spmm_t,
 )
 from dune_eigensolver_tpu.sparse.formats import (
@@ -71,7 +75,15 @@ from dune_eigensolver_tpu.sparse.formats import (
 @dataclasses.dataclass(frozen=True)
 class WindowedShardPlan:
     """P per-shard WindowedELL containers with UNIFIED static metadata,
-    stacked on a leading shard axis (split by shard_map in_specs)."""
+    stacked on a leading shard axis (split by shard_map in_specs).
+
+    ``bnd_left``/``bnd_right`` are dense (halo, halo) boundary blocks per
+    shard — the entries whose columns land in the exchanged halo slabs,
+    extracted from the kernel's input space so the Pallas kernel can run on
+    local-only X (overlappable with the ppermute) while the boundary
+    contributions ride two small MXU matmuls that alone consume the
+    collective's output. Zero-size when halo == 0 or the halo exceeds
+    ``_BND_DENSE_CAP`` (drivers then serialize exchange -> kernel, v1)."""
 
     data: jax.Array  # (P, smax_u, width_u)
     lanes: jax.Array  # (P, smax_u, width_u) int8
@@ -79,6 +91,8 @@ class WindowedShardPlan:
     far_rows: jax.Array  # (P, nfar_u) int32
     far_cols: jax.Array  # (P, nfar_u) int32
     far_vals: jax.Array  # (P, nfar_u)
+    bnd_left: jax.Array  # (P, halo, halo) or (P, 0, 0)
+    bnd_right: jax.Array  # (P, halo, halo) or (P, 0, 0)
     offs: Tuple[int, ...]  # unified static per-segment block offsets
     shape: Tuple[int, int]  # static per-shard logical (nloc, next)
     tile: int
@@ -87,20 +101,31 @@ class WindowedShardPlan:
     far_nnz: int  # max per-shard tail length (0 = no tail anywhere)
     halo: int
     nloc: int
-    n: int  # global rows
+    n: int  # global rows AFTER pad (nloc * P)
+    n_logical: int = -1  # original rows; -1 = same as n (no pad)
 
     @property
     def width(self) -> int:
         return self.data.shape[-1]
 
+    @property
+    def rows(self) -> int:
+        """Original (pre-pad) global row count."""
+        return self.n if self.n_logical < 0 else self.n_logical
+
 
 jax.tree_util.register_dataclass(
     WindowedShardPlan,
     data_fields=["data", "lanes", "starts", "far_rows", "far_cols",
-                 "far_vals"],
+                 "far_vals", "bnd_left", "bnd_right"],
     meta_fields=["offs", "shape", "tile", "window", "nnz", "far_nnz",
-                 "halo", "nloc", "n"],
+                 "halo", "nloc", "n", "n_logical"],
 )
+
+# dense boundary blocks cost 4 * halo^2 bytes per side per shard; past this
+# the overlap machinery costs more HBM than it hides and the drivers fall
+# back to the serialized exchange -> kernel order (v1, correct either way).
+_BND_DENSE_CAP = 2048
 
 
 def _to_scipy(A):
@@ -114,21 +139,38 @@ def _to_scipy(A):
 
 
 def windowed_shard_plan(
-    A, P_shards: int, tile: int = 2048, m: int = 8
+    A, P_shards: int, tile: int = 2048, m: int = 8, diag_fill: float = 1.0
 ) -> WindowedShardPlan:
-    """Host-side planning: split, re-plan per shard, unify, stack."""
+    """Host-side planning: split, re-plan per shard, unify, stack.
+
+    ``n % P_shards != 0`` is handled by DECOUPLED host-side pad rows:
+    ``diag_fill`` on the diagonal (1.0 for operators so pad lanes are
+    well-conditioned, 0.0 for mass matrices — the DIA drivers' convention,
+    sharded.py ``_pad_rows_dia``), zero coupling to real rows. With a
+    zero start vector the pad lanes stay exactly zero through every linear
+    operation, so the spectrum is untouched; the reference accepts any n
+    at every entry point (eigensolver.hh:28,116,204)."""
     import scipy.sparse as sp
 
     S = _to_scipy(A)
-    n = S.shape[0]
+    n_logical = n = S.shape[0]
     if S.shape[0] != S.shape[1]:
         raise ValueError("windowed_shard_plan: operator must be square")
     if n % P_shards != 0:
-        raise ValueError(
-            f"windowed_shard_plan: n={n} not divisible by {P_shards} shards"
-            " — pad the operator host-side (general patterns have no"
-            " guaranteed diagonal slot for implicit identity pad rows)"
-        )
+        n_pad = _round_up(n, P_shards)
+        coo0 = S.tocoo()
+        rows_, cols_, vals_ = coo0.row, coo0.col, coo0.data
+        if diag_fill != 0.0:
+            pr = np.arange(n, n_pad)
+            rows_ = np.concatenate([rows_, pr])
+            cols_ = np.concatenate([cols_, pr])
+            vals_ = np.concatenate(
+                [vals_, np.full(n_pad - n, diag_fill, dtype=vals_.dtype)]
+            )
+        S = sp.coo_matrix(
+            (vals_, (rows_, cols_)), shape=(n_pad, n_pad)
+        ).tocsr()
+        n = n_pad
     nloc = n // P_shards
     coo = S.tocoo()
     halo = int(np.abs(coo.col - coo.row).max()) if coo.nnz else 0
@@ -140,6 +182,9 @@ def windowed_shard_plan(
     next_ = nloc + 2 * halo
 
     dtype = S.dtype
+    bh = halo if 0 < halo <= _BND_DENSE_CAP else 0
+    bnd_l = np.zeros((P_shards, bh, bh), np.dtype(dtype))
+    bnd_r = np.zeros((P_shards, bh, bh), np.dtype(dtype))
     shards: List[WindowedELL] = []
     for i in range(P_shards):
         r0 = i * nloc
@@ -151,6 +196,12 @@ def windowed_shard_plan(
         Sl_ext = sp.coo_matrix(
             (Sl.data, (Sl.row, cols_ext)), shape=(nloc, next_)
         ).tocsr()
+        if bh:
+            # dense boundary blocks for the overlapped SpMM: rows that read
+            # the left/right exchanged halo slabs (bandwidth bound => only
+            # the first/last ``halo`` local rows can)
+            bnd_l[i] = Sl_ext[:bh, :bh].toarray()
+            bnd_r[i] = Sl_ext[nloc - bh :, halo + nloc :].toarray()
         Ae = ell_from_scipy(Sl_ext, dtype=dtype)
         shards.append(_build_segmented(Ae, WindowedELL, {}, tile, 0, m))
 
@@ -175,6 +226,11 @@ def windowed_shard_plan(
 
     # --- unify window / width / tail sizes ---
     W_u = max(c.window for c in shards)
+    # per-shard plans validated their own (W, smax) against the VMEM model,
+    # but unification takes max-W and union-of-slots — re-check the mb=8
+    # floor for the UNIFIED kernel (ADVICE r4: _pick_mb silently returns 8
+    # even when nothing fits, the silent-NaN overrun class).
+    _validate_vmem(W_u, smax_u, Tr, what="windowed_shard_plan (unified)")
     K_u = W_u // Tr + 1
     nt_real = -(-nloc // Tr)
     width_u = max(max(c.width for c in shards), next_)
@@ -216,6 +272,14 @@ def windowed_shard_plan(
         far_cols[i, : fr.shape[0]] = np.asarray(c.far_cols)
         far_vals[i, : fr.shape[0]] = np.asarray(c.far_vals)
 
+    if halo > _BND_DENSE_CAP:
+        from dune_eigensolver_tpu.utils.vlog import warn_fallback
+
+        warn_fallback(
+            f"windowed_shard_plan: halo {halo} > {_BND_DENSE_CAP} — dense "
+            "boundary blocks skipped, halo exchange will serialize before "
+            "the kernel (no collective/compute overlap on this operand)"
+        )
     return WindowedShardPlan(
         data=jnp.asarray(data),
         lanes=jnp.asarray(lanes),
@@ -223,6 +287,8 @@ def windowed_shard_plan(
         far_rows=jnp.asarray(far_rows),
         far_cols=jnp.asarray(far_cols),
         far_vals=jnp.asarray(far_vals),
+        bnd_left=jnp.asarray(bnd_l),
+        bnd_right=jnp.asarray(bnd_r),
         offs=offs_u,
         shape=(nloc, next_),
         tile=Tr,
@@ -232,6 +298,7 @@ def windowed_shard_plan(
         halo=halo,
         nloc=nloc,
         n=n,
+        n_logical=n_logical,
     )
 
 
@@ -261,14 +328,46 @@ def windowed_spmm_halo_t(
     x_local: jax.Array,
     axis: str = ROW_AXIS,
     interpret: bool = False,
+    bnd: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> jax.Array:
-    """Local rows of ``(A @ X)^T`` for the row-sharded general operand:
-    ppermute halo exchange -> unified-width zero pad -> windowed kernel ->
-    local-row slice. x_local: (m, nloc)."""
-    x_ext = halo_exchange_t(x_local, plan.halo, axis)
-    Xw = jnp.pad(x_ext, ((0, 0), (0, plan.width - x_ext.shape[1])))
-    Y = windowed_spmm_t(op, Xw, interpret=interpret)
-    return Y[:, : plan.nloc]
+    """Local rows of ``(A @ X)^T`` for the row-sharded general operand.
+    x_local: (m, nloc).
+
+    With ``bnd`` (this shard's dense boundary blocks): OVERLAPPED form —
+    the ppermute is issued first, the Pallas kernel consumes ONLY local
+    lanes (halo slabs zero-padded, so it has no data dependence on the
+    collective and XLA's latency-hiding scheduler can run both
+    concurrently), and the exchanged slabs feed two (m, halo) x
+    (halo, halo) MXU matmuls that correct the first/last ``halo`` rows —
+    the general-sparsity analogue of the DIA path's interior/edge split
+    (``padded_spmm_halo``). Without ``bnd``: the r4 serialized order
+    (exchange completes before the kernel launches)."""
+    halo = plan.halo
+    if halo == 0 or bnd is None:
+        x_ext = halo_exchange_t(x_local, halo, axis)
+        Xw = jnp.pad(x_ext, ((0, 0), (0, plan.width - x_ext.shape[1])))
+        return windowed_spmm_t(op, Xw, interpret=interpret)[:, : plan.nloc]
+    from jax import lax
+
+    m, nloc = x_local.shape
+    ndev = lax.axis_size(axis)
+    if ndev > 1:  # launch the exchange first; the kernel never reads it
+        fwd = [(i, i + 1) for i in range(ndev - 1)]
+        bwd = [(i + 1, i) for i in range(ndev - 1)]
+        from_left = lax.ppermute(x_local[:, -halo:], axis, fwd)
+        from_right = lax.ppermute(x_local[:, :halo], axis, bwd)
+    else:
+        from_left = jnp.zeros((m, halo), x_local.dtype)
+        from_right = jnp.zeros((m, halo), x_local.dtype)
+    Xw = jnp.pad(x_local, ((0, 0), (halo, plan.width - halo - nloc)))
+    Y = windowed_spmm_t(op, Xw, interpret=interpret)[:, : plan.nloc]
+    A_l, A_r = bnd
+    hp = jax.lax.Precision.HIGHEST  # TPU matmul defaults to bf16 inputs
+    Y = Y.at[:, :halo].add(jnp.matmul(from_left, A_l.T, precision=hp))
+    Y = Y.at[:, nloc - halo :].add(
+        jnp.matmul(from_right, A_r.T, precision=hp)
+    )
+    return Y
 
 
 def _shard_diag(plan: WindowedShardPlan, op: WindowedELL) -> jax.Array:
@@ -284,15 +383,41 @@ def _shard_diag(plan: WindowedShardPlan, op: WindowedELL) -> jax.Array:
     return jnp.where(valid, diag, jnp.asarray(1.0, op.dtype))[: plan.nloc]
 
 
+def _q0_general(seed, plan, m, dtype, mesh, axis):
+    """Sharded transposed start block: random over the LOGICAL rows, pad
+    lanes exactly zero (the decoupled-pad-row invariant — sharded.py
+    ``_random_q0_t``)."""
+    from dune_eigensolver_tpu.solvers.standard import random_multivector_t
+
+    Q0 = random_multivector_t(jax.random.PRNGKey(seed), plan.rows, m, dtype)
+    if plan.n != plan.rows:
+        Q0 = jnp.pad(Q0, ((0, 0), (0, plan.n - plan.rows)))
+    return jax.device_put(Q0, NamedSharding(mesh, P(None, axis)))
+
+
+_N_PLAN_ARRS = 8
+
+
 def _plan_arrays(plan):
     return (plan.data, plan.lanes, plan.starts, plan.far_rows,
-            plan.far_cols, plan.far_vals)
+            plan.far_cols, plan.far_vals, plan.bnd_left, plan.bnd_right)
 
 
 def _plan_specs(axis):
-    return tuple(P(axis, *(None,) * 2) for _ in range(2)) + tuple(
-        P(axis, None) for _ in range(4)
+    return (
+        tuple(P(axis, *(None,) * 2) for _ in range(2))
+        + tuple(P(axis, None) for _ in range(4))
+        + tuple(P(axis, *(None,) * 2) for _ in range(2))
     )
+
+
+def _shard_bnd(plan: WindowedShardPlan, arrs):
+    """This shard's dense boundary blocks, or None when overlap is
+    unavailable (halo == 0 or past ``_BND_DENSE_CAP``)."""
+    bl, br = arrs[6], arrs[7]
+    if bl.shape[-1] == 0 or plan.halo == 0:
+        return None
+    return (bl[0], br[0])
 
 
 def sharded_standard_largest_general(
@@ -329,16 +454,14 @@ def sharded_standard_largest_general(
     plan = windowed_shard_plan(S, ndev, tile=tile, m=m)
     n = plan.n
     interpret = not _on_tpu()
-    Q0 = jax.device_put(
-        random_multivector_t(jax.random.PRNGKey(seed), n, m, S.dtype),
-        NamedSharding(mesh, P(None, axis)),
-    )
+    Q0 = _q0_general(seed, plan, m, S.dtype, mesh, axis)
     reduce_ = psum_reduce(axis)
 
     def local_solver(q0, *arrs):
-        op = _shard_container(plan, arrs)
+        op = _shard_container(plan, arrs[:6])
+        bnd = _shard_bnd(plan, arrs)
         apply_a = lambda X: windowed_spmm_halo_t(  # noqa: E731
-            plan, op, X, axis=axis, interpret=interpret
+            plan, op, X, axis=axis, interpret=interpret, bnd=bnd
         )
         cfg = (
             nev, float(tol), int(maxiter), float(shift), int(block),
@@ -365,7 +488,7 @@ def sharded_standard_largest_general(
             )
         ),
     )
-    return _slice_result(fn(Q0, *_plan_arrays(plan)), n)
+    return _slice_result(fn(Q0, *_plan_arrays(plan)), plan.rows)
 
 
 def sharded_lobpcg_general(
@@ -418,26 +541,29 @@ def sharded_lobpcg_general(
     plan_b = (
         None
         if Sb is None
-        else windowed_shard_plan(Sb, ndev, tile=tile, m=3 * m)
+        else windowed_shard_plan(
+            Sb, ndev, tile=tile, m=3 * m, diag_fill=0.0
+        )
     )
     interpret = not _on_tpu()
-    Q0 = jax.device_put(
-        random_multivector_t(jax.random.PRNGKey(seed), n, m, S.dtype),
-        NamedSharding(mesh, P(None, axis)),
-    )
+    n = plan_a.n  # padded global rows (pad lanes stay exactly zero)
+    Q0 = _q0_general(seed, plan_a, m, S.dtype, mesh, axis)
     reduce_ = psum_reduce(axis)
 
     def local_solver(q0, *arrs):
         op_a = _shard_container(plan_a, arrs[:6])
+        bnd_a = _shard_bnd(plan_a, arrs)
         apply_a = lambda X: windowed_spmm_halo_t(  # noqa: E731
-            plan_a, op_a, X, axis=axis, interpret=interpret
+            plan_a, op_a, X, axis=axis, interpret=interpret, bnd=bnd_a
         )
         if plan_b is None:
             apply_b = lambda X: X  # noqa: E731
         else:
-            op_b = _shard_container(plan_b, arrs[6:12])
+            arrs_b = arrs[_N_PLAN_ARRS:]
+            op_b = _shard_container(plan_b, arrs_b[:6])
+            bnd_b = _shard_bnd(plan_b, arrs_b)
             apply_b = lambda X: windowed_spmm_halo_t(  # noqa: E731
-                plan_b, op_b, X, axis=axis, interpret=interpret
+                plan_b, op_b, X, axis=axis, interpret=interpret, bnd=bnd_b
             )
         inv_diag = 1.0 / _shard_diag(plan_a, op_a)
 
@@ -459,8 +585,11 @@ def sharded_lobpcg_general(
     key = (
         "lobpcg_general", _mesh_key(mesh), axis, interpret, plan_a.offs, plan_a.shape,
         plan_a.tile, plan_a.window, plan_a.far_nnz,
-        None if plan_b is None else (plan_b.offs, plan_b.window,
-                                     plan_b.far_nnz),
+        # plan_b.shape/tile pin halo_b, baked statically into the traced
+        # halo exchange (ADVICE r4: identical offs/window/far_nnz with a
+        # different halo must not reuse the program)
+        None if plan_b is None else (plan_b.offs, plan_b.shape, plan_b.tile,
+                                     plan_b.window, plan_b.far_nnz),
         nev, float(tol), int(maxiter), float(shift), float(reg), int(block),
         int(min_iter), float(ortho_eps), float(cg_rtol), int(cg_maxiter),
         ortho_block, str(np.dtype(S.dtype)), m,
@@ -480,7 +609,7 @@ def sharded_lobpcg_general(
             )
         ),
     )
-    return _slice_result(fn(Q0, *_plan_arrays(plan_a), *b_arrs), n)
+    return _slice_result(fn(Q0, *_plan_arrays(plan_a), *b_arrs), plan_a.rows)
 
 
 def sharded_generalized_inverse_general(
@@ -529,22 +658,23 @@ def sharded_generalized_inverse_general(
         S_op = S_op + reg * sp.eye(n, dtype=S.dtype)
     m = padded_width(nev, block)
     plan_a = windowed_shard_plan(S_op.tocsr(), ndev, tile=tile, m=m)
-    plan_b = windowed_shard_plan(Sb, ndev, tile=tile, m=m)
+    plan_b = windowed_shard_plan(Sb, ndev, tile=tile, m=m, diag_fill=0.0)
     interpret = not _on_tpu()
-    Q0 = jax.device_put(
-        random_multivector_t(jax.random.PRNGKey(seed), n, m, S.dtype),
-        NamedSharding(mesh, P(None, axis)),
-    )
+    n = plan_a.n  # padded global rows (pad lanes stay exactly zero)
+    Q0 = _q0_general(seed, plan_a, m, S.dtype, mesh, axis)
     reduce_ = psum_reduce(axis)
 
     def local_solver(q0, *arrs):
+        arrs_b = arrs[_N_PLAN_ARRS:]
         op_a = _shard_container(plan_a, arrs[:6])
-        op_b = _shard_container(plan_b, arrs[6:12])
+        op_b = _shard_container(plan_b, arrs_b[:6])
+        bnd_a = _shard_bnd(plan_a, arrs)
+        bnd_b = _shard_bnd(plan_b, arrs_b)
         apply_a = lambda X: windowed_spmm_halo_t(  # noqa: E731
-            plan_a, op_a, X, axis=axis, interpret=interpret
+            plan_a, op_a, X, axis=axis, interpret=interpret, bnd=bnd_a
         )
         apply_b = lambda X: windowed_spmm_halo_t(  # noqa: E731
-            plan_b, op_b, X, axis=axis, interpret=interpret
+            plan_b, op_b, X, axis=axis, interpret=interpret, bnd=bnd_b
         )
         inv_diag = 1.0 / _shard_diag(plan_a, op_a)
 
@@ -566,7 +696,9 @@ def sharded_generalized_inverse_general(
     key = (
         "generalized_general", _mesh_key(mesh), axis, interpret,
         plan_a.offs, plan_a.shape, plan_a.tile, plan_a.window,
-        plan_a.far_nnz, plan_b.offs, plan_b.window, plan_b.far_nnz, nev,
+        # plan_b.shape/tile pin halo_b (ADVICE r4), like the lobpcg key
+        plan_a.far_nnz, plan_b.offs, plan_b.shape, plan_b.tile,
+        plan_b.window, plan_b.far_nnz, nev,
         float(tol), int(maxiter), float(shift), float(reg), int(block),
         int(min_iter), int(ortho_iterations), bool(rayleigh_ritz),
         float(cg_rtol), int(cg_maxiter), str(np.dtype(S.dtype)), m,
@@ -586,5 +718,5 @@ def sharded_generalized_inverse_general(
         ),
     )
     return _slice_result(
-        fn(Q0, *_plan_arrays(plan_a), *_plan_arrays(plan_b)), n
+        fn(Q0, *_plan_arrays(plan_a), *_plan_arrays(plan_b)), plan_a.rows
     )

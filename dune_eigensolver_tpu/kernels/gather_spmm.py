@@ -114,6 +114,24 @@ def _w_cap(m: int = 8, smax: int = 8, tile: int = 2048) -> int:
     return min(_W_MAX, max(0, cap) // 128 * 128)
 
 
+def _validate_vmem(W: int, smax: int, Tr: int, what: str = "windowed spmm") -> None:
+    """Raise when even the mb=8 m-tiling floor exceeds the modeled VMEM
+    budget. ``_pick_mb`` silently returns mb=8 when nothing fits — the same
+    modeled-budget overrun class that previously produced silent NaNs
+    (utils/paranoid.py); plan builders must call this instead of trusting
+    the floor (ADVICE r4: dist plan unification can grow W/smax past any
+    per-shard plan's validated point)."""
+    mb = 8
+    need = 3 * mb * (W + Tr) * 4 + 2 * mb * Tr * 4 + 2 * smax * Tr * (4 + 1)
+    if need > _VMEM_BUDGET:
+        raise ValueError(
+            f"{what}: window {W} x {smax} segments needs a modeled "
+            f"{need / 2**20:.1f} MB of VMEM even at the mb=8 m-tiling "
+            f"floor (budget {_VMEM_BUDGET / 2**20:.1f} MB); use the XLA "
+            "fallback or a narrower-band ordering"
+        )
+
+
 def _pick_mb(mpad: int, W: int, smax: int, Tr: int) -> int:
     """Largest m-block (divisor of mpad, multiple of 8, <= 128) whose
     staging window + output tile fit the VMEM budget."""

@@ -40,25 +40,30 @@ def paranoid_enabled() -> bool:
 
 def b_identity_check(B, tol: float = 1e-6) -> None:
     """Paranoid-mode verification of the ``b_identity=True`` caller
-    assertion (VERDICT r3 Weak #7): applies B to a probe vector ON DEVICE
-    and alarms via ``jax.debug.print`` if ``max |B 1 - 1|`` exceeds
-    ``tol`` — no host fetch (the tunnel hazard that justifies leaving the
-    assertion unchecked by default, CLAUDE.md). One extra SpMM dispatch,
-    paranoid mode only."""
+    assertion (VERDICT r3 Weak #7): applies B to a RANDOM probe vector ON
+    DEVICE and alarms via ``jax.debug.print`` if ``max |B v - v|`` exceeds
+    ``tol * max|v|`` — no host fetch (the tunnel hazard that justifies
+    leaving the assertion unchecked by default, CLAUDE.md). The probe is
+    random, not all-ones: any unit-row-sum matrix (row-stochastic, or
+    I + a zero-row-sum perturbation) passes the ones probe while being far
+    from the identity (ADVICE r4). Fixed seed keeps the check
+    deterministic. One extra SpMM dispatch, paranoid mode only."""
     if not _PARANOID or B is None:
         return
     from dune_eigensolver_tpu.sparse.spmm import spmm
 
     @jax.jit
     def check(Bop):
-        v = jnp.ones((Bop.shape[0], 1), Bop.dtype)
-        bad = jnp.max(jnp.abs(spmm(Bop, v) - v)) > tol
+        v = jax.random.normal(
+            jax.random.PRNGKey(7), (Bop.shape[0], 1), Bop.dtype
+        )
+        bad = jnp.max(jnp.abs(spmm(Bop, v) - v)) > tol * jnp.max(jnp.abs(v))
 
         def alarm(_):
             jax.debug.print(
-                "PARANOID: b_identity=True but max |B@1 - 1| exceeds "
-                "{} - the caller's identity assertion is WRONG and all "
-                "B-applies are being skipped",
+                "PARANOID: b_identity=True but max |B@v - v| on a random "
+                "probe exceeds {} * max|v| - the caller's identity "
+                "assertion is WRONG and all B-applies are being skipped",
                 tol,
             )
             return 0

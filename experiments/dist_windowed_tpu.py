@@ -54,10 +54,15 @@ def main():
 
     def build(k):
         def local(x, *arrs):
-            op = _shard_container(plan, arrs)
+            from dune_eigensolver_tpu.dist.windowed import _shard_bnd
+
+            op = _shard_container(plan, arrs[:6])
+            bnd = _shard_bnd(plan, arrs)
             return lax.fori_loop(
                 0, k,
-                lambda i, v: windowed_spmm_halo_t(plan, op, v, axis=axis),
+                lambda i, v: windowed_spmm_halo_t(
+                    plan, op, v, axis=axis, bnd=bnd
+                ),
                 x,
             )
 

@@ -424,3 +424,15 @@ def test_sharded_program_cache_reuse():
     sharded_standard_largest(A, nev=4, tol=1e-5, maxiter=30, mesh=mesh,
                              spmm="xla")
     assert len(sh._PROGRAM_CACHE) == 2
+
+
+def test_scaling_efficiency_noise_floor_guard():
+    # a two-K slope at the timer noise floor must report efficiency=nan,
+    # never an absurd ratio (the r4 SCALING log printed eff=20611458 from
+    # a 0 us slope — VERDICT r4 Weak #1)
+    from dune_eigensolver_tpu.bench.scaling import _EFF_FLOOR, _efficiency
+
+    assert _efficiency(1e-3, 1e-3) == 1.0
+    assert np.isnan(_efficiency(1e-3, _EFF_FLOOR / 2))  # t at floor
+    assert np.isnan(_efficiency(_EFF_FLOOR / 2, 1e-3))  # baseline at floor
+    assert np.isnan(_efficiency(None, 1e-3))

