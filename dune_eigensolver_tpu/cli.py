@@ -674,6 +674,15 @@ def main(argv: Optional[list] = None) -> int:
         ptree.read_ini(argv.pop(0))
     ptree.read_cli(argv)
 
+    if int(ptree.get("ev.compile_cache", 1)):
+        # persistent executable cache: a warm process skips the 26-79 s
+        # windowed-solve compile entirely (utils/compile_cache.py)
+        from dune_eigensolver_tpu.utils.compile_cache import (
+            enable_compile_cache,
+        )
+
+        enable_compile_cache(ptree.get("ev.compile_cache_dir"))
+
     dev = jax.devices()[0]
     _log(ptree, 1, f"device: {dev.device_kind} platform={dev.platform}")
     _log(ptree, 2, repr(ptree))

@@ -145,6 +145,26 @@ def _pick_mb(mpad: int, W: int, smax: int, Tr: int) -> int:
     return best
 
 
+def _w_cap_blocked(smax_b: int, b: int, tile: int) -> int:
+    """Window cap at the mb=8 floor for the BLOCKED kernel: each segment
+    streams b f32 coefficient rows + one int8 lane row."""
+    mb = 8
+    rest = 2 * smax_b * tile * (b * 4 + 1) + 2 * mb * tile * 4
+    cap = (_VMEM_BUDGET - rest) // (3 * 4 * mb) - tile
+    return min(_W_MAX, max(0, cap) // 128 * 128)
+
+
+def _pick_mb_blocked(mpad: int, W: int, smax_b: int, b: int, Tr: int) -> int:
+    best = 8
+    rest = 2 * smax_b * Tr * (b * 4 + 1)
+    for mb in (8, 16, 24, 32, 40, 48, 64, 96, 128):
+        if mb > mpad or mpad % mb:
+            continue
+        if 3 * mb * (W + Tr) * 4 + 2 * mb * Tr * 4 + rest <= _VMEM_BUDGET:
+            best = mb
+    return best
+
+
 @dataclasses.dataclass(frozen=True)
 class WindowedELL:
     """Segmented ELL operand pre-arranged for the vreg-gather kernel.
@@ -257,6 +277,110 @@ jax.tree_util.register_dataclass(
 )
 
 
+@dataclasses.dataclass(frozen=True)
+class BlockedWindowedBSR(WindowedBSR):
+    """BLOCK-AWARE segmented BSR operand: one gather per block-column rank.
+
+    The scalar-expanded layout spends one ``tpu.dynamic_gather`` per scalar
+    column of a block — and gathers are 81% of kernel time on v5e
+    (experiments/gather_ablate.py). But all ``br`` rows of a (b, b) block
+    read the SAME b columns, so one gather whose lane pattern is
+    ``colbase + (i % b)`` fetches each needed value once at its natural
+    lane. Redistribution to the rows that consume each value is DEFERRED:
+    the kernel keeps b accumulators, one per within-block row-shift group
+    ``g`` — the gathered value at lane i (block row r = i%b) contributes
+    ``a[(r+g)%b, r] * G[i]`` to ``acc_g`` via a dense coefficient stream,
+    and only ONCE PER 128-LANE SUBGROUP are the b-1 shifted accumulators
+    rotated into row alignment (2 ``pltpu.roll`` + 1 select per group;
+    rolls ride the same crossbar as gathers, so a per-segment roll scheme
+    measured SLOWER than scalar expansion — 732us vs 583us on the 522k
+    elasticity operand). Per block rank this costs 1 gather + b FMAs + b
+    dense streams, vs b gathers + b FMAs + b streams scalar-expanded: the
+    dominant gather count drops by the block factor b — the TPU analogue
+    of the reference streaming its matrix once per RHS block
+    (kernels_cpp.hh:626-657, kernels_avx2.hh:1021-1059).
+
+    Requires br == bc == b with b | 128 (blocks never straddle a 128-lane
+    vreg; BSR column bases are b-aligned by construction). ``bdata`` packs
+    the b coefficient streams per segment row-major: row ``s*b + g`` holds
+    ``a[(i%b + g) % b, i%b]`` at lane i. The inherited scalar-segment
+    arrays ``data``/``lanes`` are EMPTY (0, width) and the kernel never
+    reads them; ``offs`` is ().
+    """
+
+    bdata: jax.Array = None  # (smax_b * b, width)
+    blanes: jax.Array = None  # (smax_b, width) int8: colbase%128 + i%b
+    boffs: Tuple[int, ...] = ()  # static per-segment 128-block offsets
+
+    @property
+    def dtype(self):
+        return self.bdata.dtype
+
+    def _block_cols_base(self) -> jax.Array:
+        """(smax_b, width) absolute scalar column of each segment's
+        gathered VALUE at each lane (colbase + i%b)."""
+        lane = jnp.arange(self.width, dtype=jnp.int32)
+        boffs = jnp.asarray(self.boffs, jnp.int32)[:, None]
+        return (lane[None, :] // 128 + boffs) * 128 + self.blanes.astype(
+            jnp.int32
+        )
+
+    def padded_diagonal(self, fill=1.0) -> jax.Array:
+        b = self.block[0]
+        lane = jnp.arange(self.width, dtype=jnp.int32)
+        r = lane % b
+        base = self._block_cols_base()
+        diag = jnp.zeros((self.width,), self.bdata.dtype)
+        for g in range(b):
+            vals = self.bdata[g::b]  # (smax_b, width), shift group g
+            row_dst = lane - r + (r + g) % b  # row the stream lands in
+            on = (base == row_dst[None, :]) & (vals != 0)
+            diag = diag.at[row_dst].add(
+                jnp.sum(jnp.where(on, vals, 0), axis=0)
+            )
+        if self.far_nnz:
+            hit = (self.far_rows == self.far_cols) & (self.far_vals != 0)
+            diag = diag.at[self.far_rows].add(
+                jnp.where(hit, self.far_vals, 0)
+            )
+        return jnp.where(lane < self.n, diag, jnp.asarray(fill, self.dtype))
+
+    def to_logical(self) -> ELLMatrix:
+        import scipy.sparse as sp
+
+        b = self.block[0]
+        n = self.n
+        bdata = np.asarray(self.bdata)
+        base = np.asarray(self._block_cols_base())
+        lane = np.arange(self.width)
+        r = lane % b
+        row_dst = lane - r + (r + np.arange(b)[:, None]) % b  # (b, width)
+        rows_l, cols_l, vals_l = [], [], []
+        for g in range(b):
+            vals = bdata[g::b]
+            s_, i_ = np.nonzero(vals)
+            rows_l.append(row_dst[g, i_])
+            cols_l.append(base[s_, i_])
+            vals_l.append(vals[s_, i_])
+        rows = np.concatenate(rows_l + [np.asarray(self.far_rows)])
+        ccs = np.concatenate(cols_l + [np.asarray(self.far_cols)])
+        vvs = np.concatenate(vals_l + [np.asarray(self.far_vals)])
+        keep = (vvs != 0) & (rows < n) & (ccs >= 0) & (ccs < self.shape[1])
+        S = sp.coo_matrix(
+            (vvs[keep], (rows[keep], ccs[keep])), shape=self.shape
+        ).tocsr()
+        return ell_from_scipy(S, dtype=bdata.dtype)
+
+
+jax.tree_util.register_dataclass(
+    BlockedWindowedBSR,
+    data_fields=["data", "lanes", "starts", "far_rows", "far_cols",
+                 "far_vals", "bdata", "blanes"],
+    meta_fields=["offs", "shape", "tile", "window", "nnz", "far_nnz",
+                 "block", "boffs"],
+)
+
+
 # ---------------------------------------------------------------------------
 # Setup planner (host-side numpy; one-time cost like the reference's
 # BCRS -> CSC conversion at umfpacktools.hh:57-95)
@@ -286,20 +410,14 @@ def _plan_windows(mincol, maxcol, Tr: int, w_cap: int):
     return starts.astype(np.int32), W, width_needed
 
 
-def _plan_segments(data, cols, n: int):
-    """Assign entries to (static block offset, multiplicity rank) slots and
-    split them into kernel segments vs the COO tail.
-
-    A slot (o, j) covers the rows whose j-th entry at block offset ``o``
-    exists; its coverage equals the number of such entries. Slots covering
-    at least ``_KEEP_MIN_FRAC`` of the rows (capped at ``_SMAX_CAP`` total,
-    highest coverage first) become kernel segments; everything else goes to
-    the tail. Returns (offs list, near mask, seg index per entry, valid
-    mask). Entries with zero coefficient are treated as absent."""
-    nrows, k = cols.shape
-    valid = data != 0
-    r = np.arange(nrows, dtype=np.int64)[:, None]
-    o = np.where(valid, cols // 128 - r // 128, np.int64(2**40))
+def _rank_and_keep(o, valid, nrows: int):
+    """Shared slot machinery for the scalar and blocked planners: rank
+    entries within their (row, offset) group, compute per-(offset, rank)
+    slot coverage, keep the highest-coverage slots (>= ``_KEEP_MIN_FRAC``
+    of the rows, capped at ``_SMAX_CAP``). ``o`` is the per-entry static
+    offset with invalid entries already set to a sentinel past any real
+    offset. Returns (offs list, near mask, seg index per entry)."""
+    k = o.shape[1]
     # rank of each entry within its (row, offset) group: sort each row's
     # offset keys (pads last), rank runs on the sorted keys, then map the
     # ranks back through the stable argsort
@@ -317,7 +435,7 @@ def _plan_segments(data, cols, n: int):
     ov, jv = o[valid], rank[valid]
     if ov.size == 0:
         near = np.zeros((nrows, k), bool)
-        return [0], near, np.zeros((nrows, k), np.int64), valid
+        return [0], near, np.zeros((nrows, k), np.int64)
     uo, inv = np.unique(ov, return_inverse=True)
     kmax = int(jv.max()) + 1
     # slot coverage = #entries with (offset o, rank j) — one per covering row
@@ -333,7 +451,7 @@ def _plan_segments(data, cols, n: int):
     keep = np.sort(keep)
     if len(keep) == 0:  # degenerate: everything rides the tail
         near = np.zeros((nrows, k), bool)
-        return [0], near, np.zeros((nrows, k), np.int64), valid
+        return [0], near, np.zeros((nrows, k), np.int64)
     offs = [int(uo[sid // kmax]) for sid in keep]
     # map slot_id -> segment index (or -1 = tail)
     seg_of = np.full(len(uo) * kmax, -1, np.int64)
@@ -343,6 +461,24 @@ def _plan_segments(data, cols, n: int):
     seg[valid] = seg_valid
     near = np.zeros((nrows, k), bool)
     near[valid] = seg_valid >= 0
+    return offs, near, seg
+
+
+def _plan_segments(data, cols, n: int):
+    """Assign entries to (static block offset, multiplicity rank) slots and
+    split them into kernel segments vs the COO tail.
+
+    A slot (o, j) covers the rows whose j-th entry at block offset ``o``
+    exists; its coverage equals the number of such entries. Slots covering
+    at least ``_KEEP_MIN_FRAC`` of the rows (capped at ``_SMAX_CAP`` total,
+    highest coverage first) become kernel segments; everything else goes to
+    the tail. Returns (offs list, near mask, seg index per entry, valid
+    mask). Entries with zero coefficient are treated as absent."""
+    nrows, k = cols.shape
+    valid = data != 0
+    r = np.arange(nrows, dtype=np.int64)[:, None]
+    o = np.where(valid, cols // 128 - r // 128, np.int64(2**40))
+    offs, near, seg = _rank_and_keep(o, valid, nrows)
     return offs, near, seg, valid
 
 
@@ -358,12 +494,136 @@ def windowed_from_ell(
 
 def windowed_from_bsr(
     A: BSRMatrix, tile: int = 2048, min_width: int = 0, m: int = 8,
+    blocked: Optional[bool] = None,
 ) -> WindowedBSR:
-    """Rearrange a block-ELL matrix for the vreg-gather kernel (scalar
-    expansion: the segment planner handles the blocked pattern natively)."""
+    """Rearrange a block-ELL matrix for the vreg-gather kernel.
+
+    ``blocked=None`` (default) routes square blocks with b | 128 to the
+    block-aware planner (one gather serves all b rows of a block — cuts
+    the dominant gather count by the block factor); other block shapes
+    (and ``blocked=False`` for A/B comparison) scalar-expand onto the
+    pattern-agnostic segment planner."""
+    br, bc = A.block
+    use_blocked = blocked
+    if use_blocked is None:
+        use_blocked = br == bc and br > 1 and 128 % br == 0
+    if use_blocked:
+        if br != bc or 128 % br:
+            raise ValueError(
+                f"blocked windowed planner needs square blocks with "
+                f"b | 128, got {A.block}"
+            )
+        return _build_blocked(A, tile, min_width, m)
     Ae = ell_from_scipy(A.to_scipy(), dtype=np.asarray(A.bdata).dtype)
     return _build_segmented(
         Ae, WindowedBSR, dict(block=A.block), tile, min_width, m
+    )
+
+
+def _build_blocked(
+    A: BSRMatrix, tile: int, min_width: int, m: int
+) -> BlockedWindowedBSR:
+    """Host-side setup for the block-aware kernel: plan segment slots at
+    BLOCK granularity ((128-block offset, block rank) per block row), then
+    lay out one int8 lane stream (``colbase%128 + i%b``) and 2b-1
+    coefficient streams per kept slot; unkept blocks ride the scalar COO
+    tail. Mirrors ``_build_segmented``'s window/width rules so blocked and
+    scalar operands pair freely in ``make_windowed_operands``."""
+    br, bc = A.block
+    b = br
+    n, _ = A.shape
+    Tr = _round_up(max(int(tile), 128), 128)
+    bdata = np.asarray(A.bdata)
+    bcols = np.asarray(A.bcols, dtype=np.int64)
+    nbr, kb = bcols.shape
+    valid = (bdata != 0).any(axis=(2, 3))
+    Rb = np.arange(nbr, dtype=np.int64)[:, None]
+    # b | 128 => every scalar row of block row R shares (R*b)//128, and
+    # every scalar column of block col C shares (C*b)//128
+    o = np.where(
+        valid, (bcols * b) // 128 - (Rb * b) // 128, np.int64(2**40)
+    )
+    boffs, near, seg = _rank_and_keep(o, valid, nbr)
+    smax_b = max(len(boffs), 1)
+
+    # per-scalar-row window extents over NEAR blocks (shared within a
+    # block row); rows without near blocks anchor at their own column
+    colbase = bcols * b
+    cb_min = np.where(near, colbase, np.int64(2**40)).min(axis=1)
+    cb_max = np.where(near, colbase, np.int64(-1)).max(axis=1) + b
+    row_min = np.repeat(cb_min, b)[:n]
+    row_max = np.repeat(cb_max, b)[:n]
+    row_min = np.minimum(row_min, np.arange(n))
+    row_max = np.maximum(row_max, np.arange(n) + 1)
+    n_pad = _round_up(max(n, 1), Tr)
+    nt = n_pad // Tr
+    mincol = np.zeros(nt, np.int64)
+    maxcol = np.ones(nt, np.int64)
+    for t in range(nt):
+        lo, hi = t * Tr, min((t + 1) * Tr, n)
+        if lo < n:
+            mincol[t] = row_min[lo:hi].min()
+            maxcol[t] = row_max[lo:hi].max()
+        else:
+            mincol[t], maxcol[t] = t * Tr, t * Tr + 1
+
+    starts, W, width_needed = _plan_windows(
+        mincol, maxcol, Tr, _w_cap_blocked(smax_b, b, Tr)
+    )
+    width = _round_up(max(n_pad, width_needed, int(min_width)), Tr)
+    nt = width // Tr
+    starts = np.concatenate(
+        [starts, (np.arange(len(starts), nt) * Tr).astype(np.int32)]
+    )
+
+    blanes_arr = np.zeros((smax_b, width), _LANE_DTYPE)
+    bdata_arr = np.zeros((smax_b * b, width), bdata.dtype)
+    ri, ki = np.nonzero(near)
+    s_ = seg[ri, ki]
+    cb = colbase[ri, ki]
+    # lane i = R*b + r carries the value X[colbase + r]; stream g holds its
+    # coefficient INTO row (r+g)%b of the block: a[(r+g)%b, r]
+    for r in range(b):
+        i_ = ri * b + r
+        blanes_arr[s_, i_] = (cb % 128 + r).astype(_LANE_DTYPE)
+        for g in range(b):
+            bdata_arr[s_ * b + g, i_] = bdata[ri, ki, (r + g) % b, r]
+
+    # COO tail: unkept blocks, expanded to their nonzero scalar entries
+    fr_, fk_ = np.nonzero(valid & ~near)
+    rloc = np.repeat(np.arange(b), b)
+    cloc = np.tile(np.arange(b), b)
+    rows_t = (fr_[:, None] * b + rloc[None, :]).ravel()
+    cols_t = (colbase[fr_, fk_][:, None] + cloc[None, :]).ravel()
+    vals_t = bdata[fr_, fk_].reshape(len(fr_), b * b).ravel()
+    nz = vals_t != 0
+    rows_t, cols_t, vals_t = rows_t[nz], cols_t[nz], vals_t[nz]
+    far_nnz = len(rows_t)
+    nfar_pad = _round_up(max(far_nnz, 1), 128) if far_nnz else 1
+    far_rows = np.zeros(nfar_pad, np.int32)
+    far_cols = np.zeros(nfar_pad, np.int32)
+    far_vals = np.zeros(nfar_pad, bdata.dtype)
+    far_rows[:far_nnz] = rows_t
+    far_cols[:far_nnz] = cols_t
+    far_vals[:far_nnz] = vals_t
+
+    return BlockedWindowedBSR(
+        data=jnp.zeros((0, width), bdata.dtype),
+        lanes=jnp.zeros((0, width), _LANE_DTYPE),
+        starts=jnp.asarray(starts),
+        far_rows=jnp.asarray(far_rows),
+        far_cols=jnp.asarray(far_cols),
+        far_vals=jnp.asarray(far_vals),
+        offs=(),
+        shape=A.shape,
+        tile=Tr,
+        window=int(W),
+        nnz=A.nnz,
+        far_nnz=far_nnz,
+        block=A.block,
+        bdata=jnp.asarray(bdata_arr),
+        blanes=jnp.asarray(blanes_arr),
+        boffs=tuple(boffs),
     )
 
 
@@ -574,6 +834,59 @@ def _seg_kernel(
             subgroup(g)
 
 
+def _blk_kernel(
+    boffs, smax_b, b, Tr, K, mb, acc_dt,
+    starts_ref, bdata_ref, blanes_ref, *rest,
+):
+    # Block-aware body (BlockedWindowedBSR): same staging/grid scheme as
+    # _seg_kernel, but each segment is a BLOCK column rank — ONE
+    # dynamic_gather fetches the b shared scalar columns at their natural
+    # lanes (colbase + i%b). Redistribution is DEFERRED: the hot loop FMAs
+    # the raw gather into b shift-group accumulators with dense coefficient
+    # streams, and the rolls that rotate groups g >= 1 into row alignment
+    # run once per 128-lane subgroup (rolls ride the same crossbar as
+    # gathers — a per-segment roll scheme measured SLOWER than scalar
+    # expansion: 732us vs 583us, experiments/blocked_ab.py).
+    x_refs = rest[:K]
+    out_ref, scr = rest[-2], rest[-1]
+    t = pl.program_id(0)
+    nbt = Tr // 128
+    for kk in range(K):
+        for bb in range(nbt):
+            scr[kk * nbt + bb] = x_refs[kk][:, 128 * bb : 128 * (bb + 1)]
+    Pblk = (starts_ref[t] // Tr) * nbt
+    ng = Tr // 128
+    # lane % b pattern for the per-group alignment selects (static)
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (mb, 128), 1) % b
+
+    def subgroup(gg):
+        q0 = t * ng + gg - Pblk
+        accs = [jnp.zeros((mb, 128), acc_dt) for _ in range(b)]
+        lanes_g = blanes_ref[:, pl.ds(128 * gg, 128)].astype(jnp.int32)
+        data_g = bdata_ref[:, pl.ds(128 * gg, 128)]
+        for s in range(smax_b):
+            q = jnp.clip(q0 + boffs[s], 0, K * nbt - 1)
+            xs = scr[q]  # (mb, 128) — dynamic leading-dim load
+            idx = jnp.broadcast_to(lanes_g[s : s + 1], (mb, 128))
+            G = jnp.take_along_axis(xs, idx, axis=1).astype(acc_dt)
+            for g in range(b):
+                coef = data_g[s * b + g : s * b + g + 1]
+                accs[g] = accs[g] + coef.astype(acc_dt) * G
+        # align: the group-g contribution at source lane i is destined for
+        # lane i + g (when r+g < b) or i + g - b (wraps inside the block);
+        # both cases are cyclic rolls and b | 128 keeps the select masks
+        # exact at the vreg boundary
+        out = accs[0]
+        for g in range(1, b):
+            fwd = pltpu.roll(accs[g], g, 1)
+            bwd = pltpu.roll(accs[g], (g - b) % 128, 1)
+            out = out + jnp.where(lane_r >= g, fwd, bwd)
+        out_ref[:, pl.ds(128 * gg, 128)] = out.astype(out_ref.dtype)
+
+    for g in range(ng):
+        subgroup(g)
+
+
 def windowed_spmm_t(
     A, Xp: jax.Array, interpret: bool = False,
     out_buf: Optional[jax.Array] = None,
@@ -616,27 +929,45 @@ def windowed_spmm_t(
     # accumulate at least f32: narrow (bf16) operands stream/gather narrow
     # but sum wide, like the DIA kernel
     acc_dt = jnp.float64 if Xp.dtype == jnp.float64 else jnp.float32
+    blocked = isinstance(A, BlockedWindowedBSR)
     # m-tiling: serve wide multivectors in mb-row blocks on an INNER grid
     # axis — coefficients stream once per row tile (index map constant in
     # j), the X window stages per (t, j) at mb-block VMEM cost
-    mb = _pick_mb(mpad, W, smax, Tr)
+    if blocked:
+        smax = A.blanes.shape[0]
+        bfac = A.block[0]
+        mb = _pick_mb_blocked(mpad, W, smax, bfac, Tr)
+    else:
+        mb = _pick_mb(mpad, W, smax, Tr)
     nm = mpad // mb
 
-    kernel = functools.partial(
-        _seg_kernel, A.offs, smax, Tr, K, mb, acc_dt
-    )
+    if blocked:
+        kernel = functools.partial(
+            _blk_kernel, A.boffs, smax, bfac, Tr, K, mb, acc_dt
+        )
+        coef_arrs = [A.bdata, A.blanes]
+        coef_specs = [
+            pl.BlockSpec((smax * bfac, Tr), lambda t, j, s: (0, t)),
+            pl.BlockSpec((smax, Tr), lambda t, j, s: (0, t)),
+        ]
+    else:
+        kernel = functools.partial(
+            _seg_kernel, A.offs, smax, Tr, K, mb, acc_dt
+        )
+        coef_arrs = [A.data, A.lanes]
+        coef_specs = [
+            pl.BlockSpec((smax, Tr), lambda t, j, s: (0, t)),
+            pl.BlockSpec((smax, Tr), lambda t, j, s: (0, t)),
+        ]
 
-    in_specs = [
-        pl.BlockSpec((smax, Tr), lambda t, j, s: (0, t)),
-        pl.BlockSpec((smax, Tr), lambda t, j, s: (0, t)),
-    ] + [
+    in_specs = coef_specs + [
         pl.BlockSpec(
             (mb, Tr),
             lambda t, j, s, _k=kk: (j, jnp.minimum(s[t] // Tr + _k, nbT - 1)),
         )
         for kk in range(K)
     ]
-    operands = [A.starts, A.data, A.lanes] + [Xp] * K
+    operands = [A.starts] + coef_arrs + [Xp] * K
     io_alias = {}
     if out_buf is not None:
         if out_buf.shape != (mpad, width) or out_buf.dtype != Xp.dtype:
@@ -664,8 +995,7 @@ def windowed_spmm_t(
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(
-                A.data.size * A.data.dtype.itemsize
-                + A.lanes.size * A.lanes.dtype.itemsize
+                sum(c.size * c.dtype.itemsize for c in coef_arrs)
                 + 3 * mpad * width * Xp.dtype.itemsize
             ),
             transcendentals=0,

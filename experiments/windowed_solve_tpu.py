@@ -54,8 +54,11 @@ def run(name, fn, ref):
 def main():
     Nel = int(sys.argv[1]) if len(sys.argv) > 1 else 96
     nun = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    from dune_eigensolver_tpu.utils.compile_cache import enable_compile_cache
+
+    cache_dir = enable_compile_cache()
     dev = jax.devices()[0]
-    print(f"device={dev.device_kind}", flush=True)
+    print(f"device={dev.device_kind} compile_cache={cache_dir}", flush=True)
 
     A, B = problems.elasticity_2d(Nel, dtype=np.float32)
     print(f"elasticity: n={A.shape[0]} nnz={A.nnz}", flush=True)
