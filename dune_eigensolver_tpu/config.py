@@ -17,7 +17,10 @@ from typing import Any, Dict, Iterable, Optional
 
 #: defaults mirroring src/dune-eigensolver.ini (values quoted at SURVEY.md §2
 #: "Config system"); TPU additions: ev.dtype, ev.inverse, ev.block,
-#: parallel.ndevices, ev.n3d (3D problem switch)
+#: parallel.ndevices, ev.n3d (3D problem switch), ev.problem
+#: (geneo|elasticity operand pair), ev.dist_inner (schwarz|cg for the
+#: general dist drivers), ev.compile_cache[_dir] (persistent executable
+#: cache, default on)
 DEFAULTS: Dict[str, Dict[str, Any]] = {
     "grid": {"N": 200, "overlap": 3},
     "mv": {"n": 32, "m": 16},

@@ -310,6 +310,7 @@ def schwarz_inverse_t(
     maxiter: int = 200,
     C: int = 256,
     layout: Optional[PaddedLayout] = None,
+    direct: bool = False,
 ):
     """Additive-Schwarz (non-overlapping block-Jacobi) inverse for the
     sharded solvers: each shard factorizes ITS diagonal band block with the
@@ -354,16 +355,28 @@ def schwarz_inverse_t(
             Y = banded_solve(F, R_log.T).T
             return jnp.pad(Y, ((0, 0), (G, width - G - n_)))
 
-    def solve(X):
-        Y, _ = cg_solve_t(
-            apply_a,
-            X,
-            rtol=rtol,
-            maxiter=maxiter,
-            gram_reduce=gram_reduce,
-            precond_apply=precond,
-        )
-        return Y
+    if direct:
+        # 1-device mesh: the "local" diagonal block IS the whole operator,
+        # so the Schwarz preconditioner is the exact inverse — the CG
+        # wrapper would spend >= 2 banded solves per apply verifying what
+        # one already delivers (measured: single-chip 1 solve = 7.7 ms vs
+        # wrapped inner ~20-24 ms/outer-iter at n=262k — the whole r4
+        # 1.56x sharded-generalized gap, TPU_GEN_ATTRIB_r05.log). Apply
+        # the block solve directly; at P > 1 the cross-shard coupling
+        # makes the global CG mathematically necessary.
+        solve = precond
+    else:
+
+        def solve(X):
+            Y, _ = cg_solve_t(
+                apply_a,
+                X,
+                rtol=rtol,
+                maxiter=maxiter,
+                gram_reduce=gram_reduce,
+                precond_apply=precond,
+            )
+            return Y
 
     solve.layout_t = True
     return solve
@@ -588,6 +601,7 @@ def sharded_standard_inverse(
             solve = schwarz_inverse_t(
                 adata, A.offsets, apply_a, reduce_,
                 rtol=cg_rtol, maxiter=cg_maxiter, layout=eng.layout,
+                direct=(int(mesh.shape[axis]) == 1),
             )
 
             def inv_fn(_aux, X):
@@ -758,6 +772,7 @@ def sharded_generalized_inverse(
             solve = schwarz_inverse_t(
                 adata, A.offsets, apply_a, reduce_,
                 rtol=cg_rtol, maxiter=cg_maxiter, layout=eng.layout,
+                direct=(int(mesh.shape[axis]) == 1),
             )
 
             def inv_fn(_aux, X):

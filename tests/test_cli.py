@@ -152,3 +152,23 @@ def test_roofline_models():
         models.flops_orthonormalize(1 << 16, 64), bn
     )
     assert ai_b > ai_n
+
+
+def test_smallest_protocol_elasticity(capsys):
+    # ev.problem=elasticity routes every protocol (incl. REFINED) onto the
+    # general-sparsity BSR operand class (VERDICT r4 ask #9)
+    from dune_eigensolver_tpu.cli import main
+
+    rc = main(
+        [
+            "ev.N=12", "ev.problem=elasticity", "ev.m=4", "ev.tol=1e-4",
+            "ev.maxiter=400", "ev.refine=on", "--test", "smallest",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "N_M_TOL_RASERROR" in out
+    ref_line = [ln for ln in out.splitlines() if "REFINED" in ln]
+    assert ref_line, out
+    err = float(ref_line[0].split()[-1])
+    assert err < 1e-8  # f64 CPU refinement on the converged f32 block

@@ -325,3 +325,48 @@ def test_sharded_generalized_general_schwarz_vs_cg():
     ev_s = np.sort(np.asarray(res_s.eigenvalues))[:4]
     ev_c = np.sort(np.asarray(res_c.eigenvalues))[:4]
     assert np.abs(ev_s - ev_c).max() / scale < 1e-3
+
+
+def test_prebuilt_plan_reuse_matches():
+    # plan=/plans= reuse must give identical results to per-call planning
+    from dune_eigensolver_tpu.dist.windowed import (
+        largest_operator,
+        pencil_operator,
+    )
+
+    n = 2048
+    S = _random_sym_csr(n, 6, seed=21)
+    mesh = make_mesh(4)
+    plan = windowed_shard_plan(largest_operator(S), 4, tile=512)
+    r_a = sharded_standard_largest_general(
+        S, nev=4, tol=1e-8, maxiter=300, mesh=mesh, tile=512
+    )
+    r_b = sharded_standard_largest_general(
+        S, nev=4, tol=1e-8, maxiter=300, mesh=mesh, tile=512, plan=plan
+    )
+    r_c = sharded_standard_largest_general(
+        S, nev=4, tol=1e-8, maxiter=300, mesh=mesh, tile=512, plan=plan
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_a.eigenvalues), np.asarray(r_b.eigenvalues), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_b.eigenvalues), np.asarray(r_c.eigenvalues), rtol=0
+    )
+    # pencil plans for lobpcg
+    plan_a = windowed_shard_plan(
+        pencil_operator(S, None, shift=1e-3), 4, tile=512, m=24
+    )
+    r_p = sharded_lobpcg_general(
+        S, nev=4, tol=1e-5, maxiter=200, shift=1e-3, mesh=mesh, tile=512,
+        cg_rtol=1e-2, cg_maxiter=25, plans=(plan_a, None),
+    )
+    r_q = sharded_lobpcg_general(
+        S, nev=4, tol=1e-5, maxiter=200, shift=1e-3, mesh=mesh, tile=512,
+        cg_rtol=1e-2, cg_maxiter=25,
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(r_p.eigenvalues)),
+        np.sort(np.asarray(r_q.eigenvalues)),
+        rtol=1e-5,
+    )
