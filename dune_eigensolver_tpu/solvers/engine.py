@@ -45,6 +45,45 @@ def _on_tpu() -> bool:
         return False
 
 
+_SETUP_MEMO: "dict" = {}
+_SETUP_MEMO_MAX = 32
+
+
+def memoized_setup(objs, params, build):
+    """Memoize per-solve setup artifacts (internal operands, layouts,
+    adapted inverse pairs) on the IDENTITY of the operand containers plus
+    the static params.
+
+    Repeated solves on the same operand objects — the GenEO pattern: the
+    adaptive driver re-solves per growth round, and production coarse-space
+    assembly solves the same pencil many times — otherwise pay the full
+    host setup (shift fold, RCM, windowed planning, factorization, device
+    upload) on every call: measured 1.5-1.6 s/call on the n=18k elasticity
+    pencil vs a ~0.05 s solver loop (TPU_DIST_WIN_r05 analysis). Keys use
+    ``id(obj)`` guarded by ``weakref`` eviction so a dead operand can never
+    alias a new one; objects that do not support weakrefs are NOT cached
+    (stale-id aliasing would be unsound). Containers are immutable (frozen
+    dataclasses over jax arrays), so identity implies value. LRU-bounded.
+    """
+    import weakref
+
+    key = tuple(id(o) for o in objs) + tuple(params)
+    hit = _SETUP_MEMO.get(key)
+    if hit is not None:
+        return hit[0]
+    val = build()
+    refs = []
+    try:
+        for o in objs:
+            refs.append(weakref.ref(o, lambda _r, k=key: _SETUP_MEMO.pop(k, None)))
+    except TypeError:
+        return val  # unweakrefable operand: skip caching, stay sound
+    _SETUP_MEMO[key] = (val, refs)
+    while len(_SETUP_MEMO) > _SETUP_MEMO_MAX:
+        _SETUP_MEMO.pop(next(iter(_SETUP_MEMO)))
+    return val
+
+
 @dataclasses.dataclass(frozen=True)
 class PadAux:
     """Pytree wrapping a column-layout inverse aux with static geometry so

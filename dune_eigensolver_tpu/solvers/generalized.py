@@ -188,17 +188,33 @@ def generalized_inverse(
         layout = None
         inv_aux, inv_fn = normalize_inverse(inverse(None))
     else:
-        A_sh = shifted_operand(A, B, shift, reg)
-        A_int, B_int, layout, _spec = make_engine(A_sh, B, m, force_padded)
+        from dune_eigensolver_tpu.solvers.engine import memoized_setup
+
         if inverse is None:
             from dune_eigensolver_tpu.factorize import default_inverse_factory
 
             inverse = default_inverse_factory
-        if getattr(inverse, "internal", False):
-            inv_aux, inv_fn = normalize_inverse(inverse(A_int))
-        else:
-            inv_aux, inv_fn = normalize_inverse(inverse(A_sh))
-        inv_aux, inv_fn = adapt_inverse(inv_aux, inv_fn, layout)
+
+        def _build():
+            A_sh = shifted_operand(A, B, shift, reg)
+            A_int, B_int, layout, _spec = make_engine(
+                A_sh, B, m, force_padded
+            )
+            if getattr(inverse, "internal", False):
+                aux, fn = normalize_inverse(inverse(A_int))
+            else:
+                aux, fn = normalize_inverse(inverse(A_sh))
+            aux, fn = adapt_inverse(aux, fn, layout)
+            return A_int, B_int, layout, aux, fn
+
+        # setup (shift fold + engine planning + factorization + upload) is
+        # memoized on the operand identities: repeated solves on the same
+        # pencil (the GenEO / adaptive pattern) pay it once
+        A_int, B_int, layout, inv_aux, inv_fn = memoized_setup(
+            ((A, inverse) if B is None else (A, B, inverse)),
+            ("gen", float(shift), float(reg), m, force_padded),
+            _build,
+        )
     hooked = dist_mode or gram_reduce is not None
     if q0 is not None:
         Q0 = q0 if hooked else to_internal(q0.T, layout)

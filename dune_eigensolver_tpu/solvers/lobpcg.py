@@ -247,21 +247,37 @@ def lobpcg_generalized(
         else:
             prec_aux, prec_fn = normalize_inverse(precond(None))
     else:
-        # m_max: the search block is (3m, n*) — size the layout for it
-        A_sh = shifted_operand(A, B, shift, reg)
-        A_int, B_int, layout, _spec = make_engine(A_sh, B, 3 * m, force_padded)
-        if precond is False:
-            prec_aux, prec_fn = None, (lambda _aux, X: X)
-        else:
-            if precond is None:
-                from dune_eigensolver_tpu.factorize import default_inverse_factory
+        from dune_eigensolver_tpu.solvers.engine import memoized_setup
 
-                precond = default_inverse_factory
-            if getattr(precond, "internal", False):
-                prec_aux, prec_fn = normalize_inverse(precond(A_int))
+        if precond is None:
+            from dune_eigensolver_tpu.factorize import default_inverse_factory
+
+            precond = default_inverse_factory
+
+        def _build():
+            # m_max: the search block is (3m, n*) — size the layout for it
+            A_sh = shifted_operand(A, B, shift, reg)
+            A_int, B_int, layout, _spec = make_engine(
+                A_sh, B, 3 * m, force_padded
+            )
+            if precond is False:
+                aux, fn = None, (lambda _aux, X: X)
             else:
-                prec_aux, prec_fn = normalize_inverse(precond(A_sh))
-            prec_aux, prec_fn = adapt_inverse(prec_aux, prec_fn, layout)
+                if getattr(precond, "internal", False):
+                    aux, fn = normalize_inverse(precond(A_int))
+                else:
+                    aux, fn = normalize_inverse(precond(A_sh))
+                aux, fn = adapt_inverse(aux, fn, layout)
+            return A_int, B_int, layout, aux, fn
+
+        # setup memoized on operand identities (see generalized_inverse):
+        # repeated solves on one pencil pay planning/factorization once
+        objs = (A,) if precond is False else (A, precond)
+        A_int, B_int, layout, prec_aux, prec_fn = memoized_setup(
+            objs if B is None else objs + (B,),
+            ("lobpcg", float(shift), float(reg), 3 * m, force_padded),
+            _build,
+        )
     hooked = dist_mode or gram_reduce is not None
     if q0 is not None:
         Q0 = q0 if hooked else to_internal(q0.T, layout)

@@ -100,3 +100,61 @@ def test_lobpcg_padded_engine_matches_plain():
         np.asarray(res_p.eigenvalues), np.asarray(res.eigenvalues),
         rtol=1e-3, atol=1e-7,
     )
+
+
+def test_memoized_setup_identity_and_eviction():
+    import gc
+    import numpy as np
+
+    from dune_eigensolver_tpu.solvers.engine import _SETUP_MEMO, memoized_setup
+
+    class Op:  # weakref-able stand-in for an operand container
+        pass
+
+    a, b = Op(), Op()
+    calls = []
+    out1 = memoized_setup((a, b), ("k", 1.0), lambda: calls.append(1) or 42)
+    out2 = memoized_setup((a, b), ("k", 1.0), lambda: calls.append(2) or 43)
+    assert out1 == out2 == 42 and calls == [1]  # second call hits
+    out3 = memoized_setup((a, b), ("k", 2.0), lambda: 99)
+    assert out3 == 99  # params distinguish
+    key_alive = [k for k, v in _SETUP_MEMO.items() if v[0] == 42]
+    assert key_alive
+    del a
+    gc.collect()
+    assert all(_SETUP_MEMO.get(k) is None for k in key_alive)  # evicted
+    # unweakrefable operands are not cached (stale-id aliasing unsound)
+    r = memoized_setup((1.5,), ("k",), lambda: "fresh")
+    assert r == "fresh" and not any(
+        v[0] == "fresh" for v in _SETUP_MEMO.values()
+    )
+
+
+def test_repeated_generalized_solve_reuses_setup(monkeypatch):
+    # two calls on the SAME pencil objects must build the engine once and
+    # return identical eigenvalues
+    import numpy as np
+
+    from dune_eigensolver_tpu.solvers import generalized_inverse
+    from dune_eigensolver_tpu.solvers import engine as eng
+    from dune_eigensolver_tpu.sparse import problems
+
+    A = problems.laplacian_neumann_2d(24, dtype=np.float32)
+    B = problems.laplacian_b_2d(24, 3, dtype=np.float32)
+    builds = []
+    orig = eng.make_engine
+
+    def counting(*a, **k):
+        builds.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(eng, "make_engine", counting)
+    import dune_eigensolver_tpu.solvers.generalized as gmod
+
+    monkeypatch.setattr(gmod, "make_engine", counting)
+    r1 = generalized_inverse(A, B, nev=4, tol=1e-6, maxiter=80, shift=1e-3)
+    r2 = generalized_inverse(A, B, nev=4, tol=1e-6, maxiter=80, shift=1e-3)
+    assert len(builds) == 1
+    np.testing.assert_array_equal(
+        np.asarray(r1.eigenvalues), np.asarray(r2.eigenvalues)
+    )
