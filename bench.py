@@ -242,13 +242,20 @@ def main():
             Xw = Lw.pad(
                 jax.random.normal(jax.random.PRNGKey(1), (m, Ae.shape[0]), dtype)
             )
-            t_win = bench_loop(
-                lambda V, op: spmm_t(op, V), Xw, K=20, reps=2, op_args=(M_int,)
-            )
-            t_gx = bench_loop(
-                lambda V, op: spmm_t(op, V), Xw[:, : Ae.shape[0]], K=20,
-                reps=2, op_args=(Ae,),
-            )
+            # interleaved rounds: the chip's throughput drifts hard (the
+            # same binary measured 343-642us minutes apart, TPU_BLOCKED_r05)
+            # — take per-variant minima across rounds so the persisted
+            # number reflects the kernel, not the phase it ran in
+            t_win = t_gx = float("inf")
+            for _rnd in range(3):
+                t_win = min(t_win, bench_loop(
+                    lambda V, op: spmm_t(op, V), Xw, K=20, reps=2,
+                    op_args=(M_int,),
+                ))
+                t_gx = min(t_gx, bench_loop(
+                    lambda V, op: spmm_t(op, V), Xw[:, : Ae.shape[0]], K=8,
+                    reps=2, op_args=(Ae,),
+                ))
             gflops_w = 2.0 * m * Ae.nnz / t_win / 1e9
             log(
                 f"gather_spmm[bsr_win]: n={Ae.shape[0]} nnz={Ae.nnz} m={m} "
