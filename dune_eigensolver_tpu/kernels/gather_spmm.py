@@ -418,25 +418,33 @@ def _rank_and_keep(o, valid, nrows: int):
     offset with invalid entries already set to a sentinel past any real
     offset. Returns (offs list, near mask, seg index per entry)."""
     k = o.shape[1]
-    # rank of each entry within its (row, offset) group: sort each row's
-    # offset keys (pads last), rank runs on the sorted keys, then map the
-    # ranks back through the stable argsort
-    o_key = np.sort(o, axis=1)
-    idx = np.broadcast_to(np.arange(k), (nrows, k))
-    change = np.ones((nrows, k), bool)
-    if k > 1:
-        change[:, 1:] = o_key[:, 1:] != o_key[:, :-1]
-    run_start = np.maximum.accumulate(np.where(change, idx, 0), axis=1)
-    rank_sorted = idx - run_start
-    order = np.argsort(o, axis=1, kind="stable")
-    rank = np.empty((nrows, k), np.int64)
-    np.put_along_axis(rank, order, rank_sorted, axis=1)
+    # rank of each entry within its (row, offset) group, by COLUMN order:
+    # rank[i, kk] = #{k' < kk : o[i, k'] == o[i, kk]}. Any deterministic
+    # per-row order is a valid rank (slots only pair same-offset entries
+    # consistently across rows); the k^2/2 vectorized equality passes
+    # replace the row sort + stable argsort + scatter that dominated
+    # planning at 2.1M dof (~12 s of a 34 s plan).
+    rank = np.zeros((nrows, k), np.int64)
+    for kk in range(1, k):
+        rank[:, kk] = np.sum(o[:, :kk] == o[:, kk : kk + 1], axis=1)
 
     ov, jv = o[valid], rank[valid]
     if ov.size == 0:
         near = np.zeros((nrows, k), bool)
         return [0], near, np.zeros((nrows, k), np.int64)
-    uo, inv = np.unique(ov, return_inverse=True)
+    # offsets are bounded by the window in 128-blocks: dedup via bincount
+    # + lookup table instead of np.unique's full sort (13 s at 2.1M dof)
+    omin = int(ov.min())
+    span = int(ov.max()) - omin + 1
+    if span <= 1 << 22:
+        counts0 = np.bincount(ov - omin, minlength=span)
+        uo_idx = np.nonzero(counts0)[0]
+        uo = uo_idx + omin
+        lut = np.full(span, -1, np.int64)
+        lut[uo_idx] = np.arange(len(uo))
+        inv = lut[ov - omin]
+    else:  # pathological offset spread: fall back to the sorting path
+        uo, inv = np.unique(ov, return_inverse=True)
     kmax = int(jv.max()) + 1
     # slot coverage = #entries with (offset o, rank j) — one per covering row
     slot_id = inv * kmax + jv
