@@ -585,20 +585,28 @@ def sharded_lobpcg_general(
     tile: int = 2048,
     ortho_block=None,
     plans: Optional[Tuple] = None,
+    precond: str = "cg",
 ):
     """Multi-chip preconditioned LOBPCG (smallest eigenpairs) on a GENERAL
     operand pair. ``B=None`` means the identity pencil (standard problem);
     otherwise B is planned onto the same sharding and applied through the
-    windowed kernel too. Preconditioner: per-shard Jacobi-CG on the shifted
-    operator (loose, matrix-free), Gram reductions psum over the mesh.
-    ``plans``: prebuilt ``(plan_a, plan_b)`` — plan_a over
-    ``pencil_operator(A, B, shift, reg)`` with ``m=3*padded_width(nev)``,
-    plan_b over B with ``diag_fill=0.0`` (or None for the identity
-    pencil); reuse amortizes host planning + upload across solves."""
+    windowed kernel too. Preconditioner (``precond``): 'cg' = per-shard
+    Jacobi-CG on the shifted operator (loose, matrix-free); 'schwarz' =
+    ONE exact per-shard banded block solve per apply (the additive-Schwarz
+    approximate inverse — LOBPCG only needs a search direction, so the CG
+    wrapper the shift-invert drivers use is unnecessary here; auto-falls
+    back to 'cg' past the device bandwidth ceiling). Gram reductions psum
+    over the mesh. ``plans``: prebuilt ``(plan_a, plan_b)`` — plan_a over
+    ``pencil_operator(A, B, shift, reg)`` with ``m=3*padded_width(nev)``
+    (and ``local_band=True`` for 'schwarz'), plan_b over B with
+    ``diag_fill=0.0`` (or None for the identity pencil); reuse amortizes
+    host planning + upload across solves."""
     from dune_eigensolver_tpu.factorize.cg import cg_solve_t
     from dune_eigensolver_tpu.solvers.lobpcg import _lobpcg_core
     from dune_eigensolver_tpu.solvers.standard import padded_width
 
+    if precond not in ("cg", "schwarz"):
+        raise ValueError(f"unknown precond {precond!r} (cg|schwarz)")
     mesh = mesh or make_mesh(axis=axis)
     ndev = int(mesh.shape[axis])
     S = _to_scipy(A)
@@ -608,7 +616,10 @@ def sharded_lobpcg_general(
         plan_a, plan_b = plans
     else:
         S_op = pencil_operator(S, Sb, shift, reg)
-        plan_a = windowed_shard_plan(S_op, ndev, tile=tile, m=3 * m)
+        plan_a = windowed_shard_plan(
+            S_op, ndev, tile=tile, m=3 * m,
+            local_band=(precond == "schwarz"),
+        )
         plan_b = (
             None
             if Sb is None
@@ -616,6 +627,8 @@ def sharded_lobpcg_general(
                 Sb, ndev, tile=tile, m=3 * m, diag_fill=0.0
             )
         )
+    if precond == "schwarz" and not plan_a.band_offsets:
+        precond = "cg"  # plan already warned (bandwidth > device ceiling)
     interpret = not _on_tpu()
     n = plan_a.n  # padded global rows (pad lanes stay exactly zero)
     Q0 = _q0_general(seed, plan_a, m, S.dtype, mesh, axis)
@@ -638,12 +651,32 @@ def sharded_lobpcg_general(
             )
         inv_diag = 1.0 / _shard_diag(plan_a, op_a)
 
-        def prec_fn(_aux, X):
-            Y, _ = cg_solve_t(
-                apply_a, X, inv_diag=inv_diag, rtol=cg_rtol,
-                maxiter=cg_maxiter, gram_reduce=reduce_,
+        if precond == "schwarz":
+            from dune_eigensolver_tpu.factorize.banded import (
+                banded_solve,
+                factorize_banded_device,
             )
-            return Y
+            from dune_eigensolver_tpu.sparse.formats import DIAMatrix
+
+            nb = _N_PLAN_ARRS * (1 if plan_b is None else 2)
+            blk = DIAMatrix(
+                data=arrs[nb][0],
+                offsets=plan_a.band_offsets,
+                shape=(plan_a.nloc, plan_a.nloc),
+            )
+            F = factorize_banded_device(blk)
+
+            def prec_fn(_aux, X):  # one exact local block solve per apply
+                return banded_solve(F, X.T).T
+
+        else:
+
+            def prec_fn(_aux, X):
+                Y, _ = cg_solve_t(
+                    apply_a, X, inv_diag=inv_diag, rtol=cg_rtol,
+                    maxiter=cg_maxiter, gram_reduce=reduce_,
+                )
+                return Y
 
         cfg = (
             nev, float(tol), int(maxiter), float(shift), int(block),
@@ -664,8 +697,11 @@ def sharded_lobpcg_general(
         nev, float(tol), int(maxiter), float(shift), float(reg), int(block),
         int(min_iter), float(ortho_eps), float(cg_rtol), int(cg_maxiter),
         ortho_block, str(np.dtype(S.dtype)), m,
+        precond, plan_a.band_offsets,
     )
     b_arrs = () if plan_b is None else _plan_arrays(plan_b)
+    if precond == "schwarz":
+        b_arrs = b_arrs + (plan_a.band_data,)
     fn = _cached_program(
         key,
         lambda: jax.jit(
@@ -674,7 +710,8 @@ def sharded_lobpcg_general(
                 mesh=mesh,
                 in_specs=(P(None, axis),)
                 + _plan_specs(axis)
-                + (_plan_specs(axis) if plan_b is not None else ()),
+                + (_plan_specs(axis) if plan_b is not None else ())
+                + ((P(axis, None, None),) if precond == "schwarz" else ()),
                 out_specs=_result_specs(axis),
                 check_vma=False,
             )

@@ -215,8 +215,19 @@ def standard_largest(
     m = padded_width(nev, block)
     n = A.shape[0]
     if apply_a is None:
-        A_sh = shifted_operand(A, None, shift, 0.0)
-        A_int, _, layout, _spec = make_engine(A_sh, None, m, force_padded)
+        from dune_eigensolver_tpu.solvers.engine import memoized_setup
+
+        def _build():
+            A_sh = shifted_operand(A, None, shift, 0.0)
+            A_int, _, layout, _spec = make_engine(
+                A_sh, None, m, force_padded
+            )
+            return A_int, layout
+
+        # engine planning/upload memoized on operand identity
+        A_int, layout = memoized_setup(
+            (A,), ("std_large", float(shift), m, force_padded), _build
+        )
     else:
         A_int, layout = None, None
     dist_mode = apply_a is not None or gram_reduce is not None
@@ -320,20 +331,30 @@ def standard_inverse(
     (factorize.host_lu). Pass ``factorize.cg.cg_inverse_factory(...)`` for
     the matrix-free TPU path.
     """
-    A_sh = shifted_operand(A, None, shift, 0.0)
+    from dune_eigensolver_tpu.solvers.engine import memoized_setup
+
     dtype = dtype or A.dtype
     m = padded_width(nev, block)
     n = A.shape[0]
-    A_int, _, layout, _spec = make_engine(A_sh, None, m, force_padded)
     if inverse is None:
         from dune_eigensolver_tpu.factorize import default_inverse_factory
 
         inverse = default_inverse_factory
-    if getattr(inverse, "internal", False):
-        inv_aux, inv_fn = normalize_inverse(inverse(A_int))
-    else:
-        inv_aux, inv_fn = normalize_inverse(inverse(A_sh))
-    inv_aux, inv_fn = adapt_inverse(inv_aux, inv_fn, layout)
+
+    def _build():
+        A_sh = shifted_operand(A, None, shift, 0.0)
+        A_int, _, layout, _spec = make_engine(A_sh, None, m, force_padded)
+        if getattr(inverse, "internal", False):
+            aux, fn = normalize_inverse(inverse(A_int))
+        else:
+            aux, fn = normalize_inverse(inverse(A_sh))
+        aux, fn = adapt_inverse(aux, fn, layout)
+        return A_int, layout, aux, fn
+
+    # setup memoized on operand identity (see generalized_inverse)
+    A_int, layout, inv_aux, inv_fn = memoized_setup(
+        (A, inverse), ("std_inv", float(shift), m, force_padded), _build
+    )
     if q0 is not None:
         Q0 = q0 if gram_reduce is not None else to_internal(q0.T, layout)
     else:

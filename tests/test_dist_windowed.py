@@ -370,3 +370,22 @@ def test_prebuilt_plan_reuse_matches():
         np.sort(np.asarray(r_q.eigenvalues)),
         rtol=1e-5,
     )
+
+
+def test_sharded_lobpcg_general_schwarz_precond():
+    # 'schwarz' = one exact per-shard banded block solve per preconditioner
+    # apply (no CG wrapper — far cheaper per iteration than the 25-step
+    # global CG, at the cost of local-only information); must match the
+    # oracle and converge
+    from dune_eigensolver_tpu.oracle.scipy_oracle import smallest_standard
+
+    n = 2000
+    S = _random_sym_csr(n, 6, seed=5)
+    ref, _ = smallest_standard(S, nev=4, sigma=-1e-3, tol=1e-10)
+    res_s = sharded_lobpcg_general(
+        S, precond="schwarz", nev=4, tol=1e-5, maxiter=300, shift=1e-3,
+        mesh=make_mesh(4), tile=512,
+    )
+    ev = np.sort(np.asarray(res_s.eigenvalues))[:4]
+    assert np.abs(ev - ref).max() / np.abs(ref).max() < 5e-3, (ev, ref)
+    assert bool(res_s.converged)
