@@ -521,15 +521,27 @@ def sharded_standard_largest_general(
 
     mesh = mesh or make_mesh(axis=axis)
     ndev = int(mesh.shape[axis])
-    S = largest_operator(A, shift)
     m = padded_width(nev, block)
     if plan is None:
-        plan = windowed_shard_plan(S, ndev, tile=tile, m=m)
-    elif plan.nloc * ndev != plan.n:
+        # plans memoized on the operand's identity (weakref-evicted —
+        # engine.memoized_setup): re-solving the same operand must not
+        # re-plan host-side and re-upload the plan arrays (m is excluded
+        # from the key: plans are m-independent since the m-tiling rework)
+        from dune_eigensolver_tpu.solvers.engine import memoized_setup
+
+        plan = memoized_setup(
+            (A,),
+            ("win_plan_largest", ndev, int(tile), float(shift)),
+            lambda: windowed_shard_plan(
+                largest_operator(A, shift), ndev, tile=tile, m=m
+            ),
+        )
+    if plan.nloc * ndev != plan.n:
         raise ValueError("plan does not match the mesh size")
     n = plan.n
     interpret = not _on_tpu()
-    Q0 = _q0_general(seed, plan, m, S.dtype, mesh, axis)
+    op_dtype = np.dtype(plan.data.dtype)
+    Q0 = _q0_general(seed, plan, m, op_dtype, mesh, axis)
     reduce_ = psum_reduce(axis)
 
     def local_solver(q0, *arrs):
@@ -541,7 +553,7 @@ def sharded_standard_largest_general(
         cfg = (
             nev, float(tol), int(maxiter), float(shift), int(block),
             int(ortho_iterations), bool(rayleigh_ritz), int(n),
-            jnp.dtype(S.dtype),
+            jnp.dtype(op_dtype),
         )
         return _largest_core(None, q0, (apply_a, reduce_), cfg)
 
@@ -549,7 +561,7 @@ def sharded_standard_largest_general(
         "largest_general", _mesh_key(mesh), axis, interpret, plan.offs, plan.shape,
         plan.tile, plan.window, plan.far_nnz, nev, float(tol),
         int(maxiter), float(shift), int(block), int(ortho_iterations),
-        bool(rayleigh_ritz), str(np.dtype(S.dtype)), m,
+        bool(rayleigh_ritz), str(op_dtype), m,
     )
     fn = _cached_program(
         key,
@@ -609,29 +621,43 @@ def sharded_lobpcg_general(
         raise ValueError(f"unknown precond {precond!r} (cg|schwarz)")
     mesh = mesh or make_mesh(axis=axis)
     ndev = int(mesh.shape[axis])
-    S = _to_scipy(A)
-    Sb = None if B is None else _to_scipy(B)
     m = padded_width(nev, block)
     if plans is not None:
         plan_a, plan_b = plans
     else:
-        S_op = pencil_operator(S, Sb, shift, reg)
-        plan_a = windowed_shard_plan(
-            S_op, ndev, tile=tile, m=3 * m,
-            local_band=(precond == "schwarz"),
-        )
-        plan_b = (
-            None
-            if Sb is None
-            else windowed_shard_plan(
-                Sb, ndev, tile=tile, m=3 * m, diag_fill=0.0
+        # plans memoized on the operand identities (weakref-evicted):
+        # re-solving the same pencil must not re-plan host-side and
+        # re-upload — with local_band the band alone is O(bw * nloc)
+        # (151 MB / ~56 s per call at n=20k through the tunnel)
+        from dune_eigensolver_tpu.solvers.engine import memoized_setup
+
+        def _build_plans():
+            S_op = pencil_operator(A, B, shift, reg)
+            pa = windowed_shard_plan(
+                S_op, ndev, tile=tile, m=3 * m,
+                local_band=(precond == "schwarz"),
             )
+            pb = (
+                None
+                if B is None
+                else windowed_shard_plan(
+                    _to_scipy(B), ndev, tile=tile, m=3 * m, diag_fill=0.0
+                )
+            )
+            return pa, pb
+
+        plan_a, plan_b = memoized_setup(
+            (A,) if B is None else (A, B),
+            ("win_plan_lobpcg", ndev, int(tile), float(shift), float(reg),
+             precond),
+            _build_plans,
         )
     if precond == "schwarz" and not plan_a.band_offsets:
         precond = "cg"  # plan already warned (bandwidth > device ceiling)
     interpret = not _on_tpu()
     n = plan_a.n  # padded global rows (pad lanes stay exactly zero)
-    Q0 = _q0_general(seed, plan_a, m, S.dtype, mesh, axis)
+    op_dtype = np.dtype(plan_a.data.dtype)
+    Q0 = _q0_general(seed, plan_a, m, op_dtype, mesh, axis)
     reduce_ = psum_reduce(axis)
 
     def local_solver(q0, *arrs):
@@ -680,8 +706,8 @@ def sharded_lobpcg_general(
 
         cfg = (
             nev, float(tol), int(maxiter), float(shift), int(block),
-            int(min_iter), float(ortho_eps), int(n), jnp.dtype(S.dtype),
-            2, ortho_block,
+            int(min_iter), float(ortho_eps), int(n),
+            jnp.dtype(op_dtype), 2, ortho_block,
         )
         hooks = (apply_a, apply_b, reduce_, prec_fn)
         return _lobpcg_core(None, None, None, q0, hooks, cfg)
@@ -696,7 +722,7 @@ def sharded_lobpcg_general(
                                      plan_b.window, plan_b.far_nnz),
         nev, float(tol), int(maxiter), float(shift), float(reg), int(block),
         int(min_iter), float(ortho_eps), float(cg_rtol), int(cg_maxiter),
-        ortho_block, str(np.dtype(S.dtype)), m,
+        ortho_block, str(op_dtype), m,
         precond, plan_a.band_offsets,
     )
     b_arrs = () if plan_b is None else _plan_arrays(plan_b)
@@ -764,24 +790,36 @@ def sharded_generalized_inverse_general(
         raise ValueError(f"unknown inner engine {inner!r} (schwarz|cg)")
     mesh = mesh or make_mesh(axis=axis)
     ndev = int(mesh.shape[axis])
-    S = _to_scipy(A)
-    Sb = _to_scipy(B)
     m = padded_width(nev, block)
     if plans is not None:
         plan_a, plan_b = plans
     else:
-        S_op = pencil_operator(S, Sb, shift, reg)
-        plan_a = windowed_shard_plan(
-            S_op, ndev, tile=tile, m=m, local_band=(inner == "schwarz")
-        )
-        plan_b = windowed_shard_plan(
-            Sb, ndev, tile=tile, m=m, diag_fill=0.0
+        # plans memoized on the operand identities (see lobpcg above)
+        from dune_eigensolver_tpu.solvers.engine import memoized_setup
+
+        def _build_plans():
+            S_op = pencil_operator(A, B, shift, reg)
+            pa = windowed_shard_plan(
+                S_op, ndev, tile=tile, m=m,
+                local_band=(inner == "schwarz"),
+            )
+            pb = windowed_shard_plan(
+                _to_scipy(B), ndev, tile=tile, m=m, diag_fill=0.0
+            )
+            return pa, pb
+
+        plan_a, plan_b = memoized_setup(
+            (A, B),
+            ("win_plan_gen", ndev, int(tile), float(shift), float(reg),
+             inner),
+            _build_plans,
         )
     if inner == "schwarz" and not plan_a.band_offsets:
         inner = "cg"  # plan already warned (bandwidth > device ceiling)
     interpret = not _on_tpu()
     n = plan_a.n  # padded global rows (pad lanes stay exactly zero)
-    Q0 = _q0_general(seed, plan_a, m, S.dtype, mesh, axis)
+    op_dtype = np.dtype(plan_a.data.dtype)
+    Q0 = _q0_general(seed, plan_a, m, op_dtype, mesh, axis)
     reduce_ = psum_reduce(axis)
 
     def local_solver(q0, *arrs):
@@ -844,7 +882,7 @@ def sharded_generalized_inverse_general(
         cfg = (
             nev, float(tol), int(maxiter), float(shift), int(block),
             int(min_iter), int(ortho_iterations), bool(rayleigh_ritz),
-            int(n), jnp.dtype(S.dtype),
+            int(n), jnp.dtype(op_dtype),
         )
         hooks = (apply_a, apply_b, reduce_, inv_fn)
         return _gen_core(None, None, None, q0, hooks, cfg)
@@ -857,7 +895,7 @@ def sharded_generalized_inverse_general(
         plan_b.window, plan_b.far_nnz, nev,
         float(tol), int(maxiter), float(shift), float(reg), int(block),
         int(min_iter), int(ortho_iterations), bool(rayleigh_ritz),
-        float(cg_rtol), int(cg_maxiter), str(np.dtype(S.dtype)), m,
+        float(cg_rtol), int(cg_maxiter), str(op_dtype), m,
         inner, plan_a.band_offsets,
     )
     band_args = (plan_a.band_data,) if inner == "schwarz" else ()

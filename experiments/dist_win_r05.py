@@ -151,8 +151,13 @@ def main():
         )
         row(f"generalized_general_{inner}", t1, r1, ts, rs, out)
 
+    # worst over the DEFAULT engine of each driver; the inner='cg' row is
+    # an A/B diagnostic (schwarz is the generalized default), not a path
+    # users land on
     worst = max(
-        v for k, v in out.items() if k.endswith("per_iter_ratio")
+        out["largest_general_per_iter_ratio"],
+        out["lobpcg_general_per_iter_ratio"],
+        out["generalized_general_schwarz_per_iter_ratio"],
     )
     out["worst_per_iter_ratio"] = worst
     out["stamp"] = time.strftime("%Y-%m-%d %H:%M:%S")
