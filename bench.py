@@ -257,8 +257,13 @@ def main():
                     reps=2, op_args=(Ae,),
                 ))
             gflops_w = 2.0 * m * Ae.nnz / t_win / 1e9
+            nnz_w = int(Ae.nnz)
+            n_w = Ae.shape[0]
+            # free the windowed operands before the 10M-dof north star —
+            # the nested hierarchy needs the HBM headroom (OOM'd without)
+            del M_int, Xw, Lw, Ae, Sa
             log(
-                f"gather_spmm[bsr_win]: n={Ae.shape[0]} nnz={Ae.nnz} m={m} "
+                f"gather_spmm[bsr_win]: n={n_w} nnz={nnz_w} m={m} "
                 f"{gflops_w:.1f} GFLOP/s ({t_win*1e6:.0f}us; xla gather "
                 f"{t_gx*1e6:.0f}us -> {t_gx/t_win:.1f}x)"
             )
@@ -267,8 +272,8 @@ def main():
                     {
                         "gflops": round(gflops_w, 2),
                         "vs_xla": round(t_gx / t_win, 1),
-                        "n": Ae.shape[0],
-                        "nnz": int(Ae.nnz),
+                        "n": n_w,
+                        "nnz": nnz_w,
                         "stamp": time.strftime("%Y-%m-%d %H:%M:%S"),
                     },
                     fh,
@@ -279,27 +284,31 @@ def main():
 
         # --- north star: smallest-20 of the 10M-dof 3D Laplacian on one
         # chip (experiments/eigen3d_10m.py protocol: N=216, LOBPCG on the
-        # reciprocal pencil). Recipe from the r3 sweeps
-        # (experiments/ns_sweep.py): one geometric-multigrid V(1,1) cycle
-        # with bf16 fine smoothing as the preconditioner, nev=24 guard
-        # block, single-pass CholeskyQR ortho in 24-row blocks
-        # (ortho_block=24: the widest Pallas-legal divisor of the 72-row
-        # search basis — 3 prefix steps instead of 9, the dominant
-        # per-iteration cost at this scale, experiments/ns_phases.py), and
-        # the identity-B fast path. Waypoints: round-2 default cheb16/
-        # nev20/QR2 43.2s -> f32 cg25 23.0s -> bf16 cg40 + QR1 12.2s ->
-        # mg V(2,2)b 5.5s -> +b_identity 5.3s -> +ortho_block=24 3.2s ->
-        # V(1,1) 3.0s (every cycle shape converges in the same 12
-        # iterations, so the cheapest smoother wins; err20 9.5e-6).
+        # reciprocal pencil). Recipe: NESTED ITERATION (solvers/nested.py,
+        # r5 — experiments/ns_nested.py): solve the same problem on the
+        # 54^3 and 108^3 grids first (coarse ops rediscretized on device,
+        # coarse_tol=2e-4) and seed each level with the prolonged
+        # eigenvector block, then the fine level only pays the iterations
+        # that correct the interpolation error ([11, 4, 3] instead of 12
+        # fine iterations). Per-level solver: one geometric-multigrid
+        # V(1,1) cycle with bf16 fine smoothing as preconditioner, nev=24
+        # guard block, single-pass CholeskyQR in 24-row blocks
+        # (experiments/ns_phases.py), identity-B fast path. Waypoints:
+        # round-2 default cheb16/nev20/QR2 43.2s -> f32 cg25 23.0s ->
+        # bf16 cg40 + QR1 12.2s -> mg V(2,2)b 5.5s -> +b_identity 5.3s ->
+        # +ortho_block=24 3.2s -> V(1,1) 3.0s -> nested 54/108/216 1.08s
+        # (err20 9.2e-7 — the seeded iterations also land 10x closer to
+        # the analytic spectrum than the 12-iteration random start).
         # Full-width QR (ortho_block='full') NaNs at this n (cond(S)^2
-        # exceeds f32); nev=32 exhausts HBM. Error is still reported on
-        # the smallest 20 vs the analytic spectrum. ---
+        # exceeds f32); nev=32 exhausts HBM; the seeded search basis needs
+        # the ortho's spectral whitening fallback (ops/ortho.py). Error is
+        # reported on the smallest 20 vs the analytic spectrum. ---
         try:
             from dune_eigensolver_tpu.factorize import mg_inverse_factory
             from dune_eigensolver_tpu.oracle.analytic import (
                 eigenvalues_laplace_dirichlet_3d,
             )
-            from dune_eigensolver_tpu.solvers import lobpcg_generalized
+            from dune_eigensolver_tpu.solvers import lobpcg_nested
 
             N3, nev3, nguard3 = 216, 20, 24
             A3 = problems.laplacian_dirichlet_3d(N3, dtype=dtype)
@@ -309,10 +318,10 @@ def main():
             )
             _ = np.asarray(jnp.ravel(A3.data)[0])  # finish the device build
             prec = mg_inverse_factory(nu1=1, nu2=1, dtype=jnp.bfloat16)
-            run = lambda: lobpcg_generalized(  # noqa: E731
+            run = lambda: lobpcg_nested(  # noqa: E731
                 A3, B3, nev=nguard3, tol=2e-3, maxiter=300, shift=0.0,
-                precond=prec, min_iter=3, ortho_iterations=1,
-                ortho_block=24, b_identity=True,
+                min_coarse=48, coarse_tol=2e-4, precond=prec,
+                ortho_iterations=1, ortho_block=24, b_identity=True,
             )
             res = run()  # includes remote compile
             ev3 = np.asarray(res.eigenvalues)
@@ -346,6 +355,9 @@ def main():
         except Exception as e:
             log(f"north-star aux bench failed: {e!r}")
 
+    # free the benchmark buffers before the aux solves: the nested
+    # north-star hierarchy at 10M dof needs every GB of HBM headroom
+    del copy_buf, Xp, Ap, Xt, A, L
     th = threading.Thread(target=aux, daemon=True)
     th.start()
     th.join(timeout=2100)

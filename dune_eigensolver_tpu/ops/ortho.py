@@ -85,13 +85,57 @@ def _left_lower_solve(R: jax.Array, Xk: jax.Array) -> jax.Array:
     return lax.linalg.triangular_solve(R, Xk, left_side=True, lower=True)
 
 
+def _whiten_apply(Gr: jax.Array, eps: float, Xs: tuple) -> tuple:
+    """Apply the block-whitening transform of the (floored) Gram ``Gr`` to
+    every array in ``Xs``: normally ``chol(Gr)^-1 @ Xi`` (the CholeskyQR
+    step, reference kernels_cpp.hh:231-306), with a ``lax.cond``-gated
+    SPECTRAL fallback when the Cholesky comes out non-finite.
+
+    The relative eps floor cannot save a block whose Gram is numerically
+    rank-deficient at its own scale — e.g. the near-converged residual
+    blocks a nested-iteration seed produces, where the f32 Gram of the
+    [X, W, P] search basis has trailing eigenvalues below the n~1e7
+    accumulation roundoff and the Cholesky hits a negative pivot -> NaN
+    that no downstream step removes. The fallback whitens through the
+    eigendecomposition with eigenvalues clipped at a relative floor:
+    healthy directions are orthonormalized exactly as CholeskyQR would,
+    defective ones become bounded noise rows (the same "projected to
+    noise, never selected by Rayleigh-Ritz" contract as the eps floor),
+    and an exactly-zero block stays zero instead of dividing 0/0. The
+    eigh branch only EXECUTES when the Cholesky failed, so the healthy
+    hot path is unchanged.
+
+    The branch carries only the (b, b) transform — never the (b, n*)
+    blocks, which as cond operands would cost extra full-block HBM buffers
+    (the first version OOM'd the 10M-dof north star exactly that way); the
+    big blocks see one b x b left-matmul either way.
+    """
+    L = _small_chol(Gr)
+    b = Gr.shape[0]
+    eye = jnp.eye(b, dtype=Gr.dtype)
+
+    def chol_branch(_):
+        return _left_lower_solve(L, eye)
+
+    def eigh_branch(_):
+        w, V = jnp.linalg.eigh(Gr)
+        floor = max(eps, 1e-7) * jnp.maximum(
+            jnp.trace(Gr) / b, jnp.asarray(1e-30, Gr.dtype)
+        )
+        # T = diag(w^-1/2) V^T  =>  T Gr T^T = I on the clipped spectrum
+        return (V / jnp.sqrt(jnp.maximum(w, floor))[None, :]).T
+
+    T = lax.cond(jnp.isfinite(L).all(), chol_branch, eigh_branch, None)
+    return tuple(jnp.dot(T, Xi, precision=_PREC) for Xi in Xs)
+
+
 def _chol_normalize_t(Xk: jax.Array, G: jax.Array, eps: float) -> jax.Array:
     """chol(G)^-1 @ Xk for SPD G (transposed-layout CholeskyQR step)."""
     G = 0.5 * (G + G.T)
     # tiny relative regularization guards chol against rank deficiency of a
     # random block; mirrors the reference's reliance on benign Gram matrices.
     G = G + eps * jnp.trace(G) / G.shape[0] * jnp.eye(G.shape[0], dtype=G.dtype)
-    return _left_lower_solve(_small_chol(G), Xk)
+    return _whiten_apply(G, eps, (Xk,))[0]
 
 
 def orthonormalize_blocked_t(
@@ -196,7 +240,7 @@ def b_orthonormalize_blocked_t(
                 mass = jnp.diag(G)
             G = 0.5 * (G + G.T)
             Gr = G + eps * jnp.trace(G) / m * jnp.eye(m, dtype=G.dtype)
-            Xt = _left_lower_solve(_small_chol(Gr), Xt)
+            (Xt,) = _whiten_apply(Gr, eps, (Xt,))
         if return_mass:
             return Xt, norm, mass
         return Xt, norm
@@ -220,9 +264,7 @@ def b_orthonormalize_blocked_t(
             )
             G = 0.5 * (G + G.T)
             Gr = G + eps * jnp.trace(G) / block * jnp.eye(block, dtype=G.dtype)
-            R = _small_chol(Gr)
-            Xk = _left_lower_solve(R, Xk)
-            Pk = _left_lower_solve(R, Pk)
+            Xk, Pk = _whiten_apply(Gr, eps, (Xk, Pk))
             bufx = lax.dynamic_update_slice_in_dim(bufx, Xk, i * block, axis=0)
             bufp = lax.dynamic_update_slice_in_dim(bufp, Pk, i * block, axis=0)
             return bufx, bufp, norm, mass_acc

@@ -5,6 +5,7 @@ from dune_eigensolver_tpu.solvers.checkpoint import (
 )
 from dune_eigensolver_tpu.solvers.generalized import generalized_inverse
 from dune_eigensolver_tpu.solvers.lobpcg import lobpcg_generalized
+from dune_eigensolver_tpu.solvers.nested import lobpcg_nested, prolong_vectors
 from dune_eigensolver_tpu.solvers.refine import refine_eigenpairs
 from dune_eigensolver_tpu.solvers.result import EigenResult
 from dune_eigensolver_tpu.solvers.standard import standard_inverse, standard_largest
@@ -18,5 +19,7 @@ __all__ = [
     "generalized_inverse_checkpointed",
     "lobpcg_generalized",
     "lobpcg_generalized_checkpointed",
+    "lobpcg_nested",
+    "prolong_vectors",
     "refine_eigenpairs",
 ]

@@ -127,6 +127,15 @@ def _lobpcg_core(A_int, B_int, prec_aux, Q0, hooks, cfg):
         nu = reduce_(jnp.sum(X * BX, axis=1))  # X is A'-orthonormal
         R = BX - AX * nu[:, None]
         W = prec_fn(prec_aux, R)
+        # Row-normalize the preconditioned residuals (scipy.lobpcg does the
+        # same): per-pair convergence differs by orders of magnitude — with
+        # a nested-iteration seed (q0 from a coarser grid) the spread is
+        # extreme from iteration 1 — and the blocked CholeskyQR's Gram sees
+        # the SQUARE of that dynamic range, which NaN'd the f32 Cholesky at
+        # n=10M. Scaling rows leaves the search span unchanged; zero rows
+        # stay zero and fall through to the ortho's eps floor as before.
+        wn = reduce_(jnp.sum(W * W, axis=1))
+        W = W / jnp.sqrt(jnp.maximum(wn, tiny))[:, None]
         # P is zero on the first pass; the filler is projected to noise by
         # the orthonormalization (eps floor) and never selected by RR.
         P_eff = jnp.where(have_p, P, W * 0.5)

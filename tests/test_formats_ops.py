@@ -110,11 +110,18 @@ def test_sharded_standard_inverse():
 
 
 def test_weak_scaling_harness():
-    from dune_eigensolver_tpu.bench.scaling import weak_scaling_spmm
+    import pytest
 
+    from dune_eigensolver_tpu.bench.scaling import _EFF_FLOOR, weak_scaling_spmm
+
+    # large enough that the two-K slope sits above the timer noise floor on
+    # a CPU host (a 256-row strip measured under 100 ns/iter and tripped
+    # the eff=nan guard); the guard itself is unit-tested in test_dist.py
     recs = weak_scaling_spmm(
-        rows_per_device=256, m=8, n_iter=3, device_counts=[1, 2]
+        rows_per_device=16384, m=8, n_iter=3, device_counts=[1, 2]
     )
     assert len(recs) == 2
+    assert all(np.isfinite(r["t_iter"]) for r in recs)
+    if recs[0]["t_iter"] <= _EFF_FLOOR:
+        pytest.skip("host timer floor reached even at 16k rows/device")
     assert recs[0]["efficiency"] == 1.0
-    assert all(np.isfinite(r["t_iter"]) and r["t_iter"] > 0 for r in recs)

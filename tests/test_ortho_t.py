@@ -111,3 +111,54 @@ def test_spmm_t_padded_dispatch():
     np.testing.assert_allclose(
         np.asarray(L.unpad(Yp)), np.asarray(Yref), rtol=1e-5, atol=1e-5
     )
+
+
+# --- spectral fallback for numerically rank-deficient blocks -----------------
+# A nested-iteration seed (q0 from a coarser grid) produces search-basis
+# blocks whose f32 Gram is rank-deficient below accumulation roundoff; the
+# pure-Cholesky whitening NaN'd at n=10M no matter the relative eps floor
+# (experiments/ns_nested.py). _whiten_apply cond-gates an eigh-based
+# clipped whitening that fires only when the Cholesky comes out non-finite.
+
+
+def test_ortho_rank_deficient_block_finite():
+    X = jax.random.normal(jax.random.PRNGKey(7), (8, 64), dtype=jnp.float32)
+    X = X.at[4:].set(X[:4])  # exact rank 4: singular Gram, chol -> NaN
+    Q = orthonormalize_blocked_t(X, block=8, eps=0.0)
+    Qh = np.asarray(Q)
+    assert np.isfinite(Qh).all()
+    # the healthy 4-dim span is orthonormalized; defective directions are
+    # clipped to (near-)zero singular values, never NaN
+    s = np.linalg.svd(Qh, compute_uv=False)
+    np.testing.assert_allclose(s[:4], 1.0, atol=1e-3)
+
+
+def test_b_ortho_rank_deficient_block_finite():
+    X = jax.random.normal(jax.random.PRNGKey(8), (8, 64), dtype=jnp.float32)
+    X = X.at[4:].set(2.0 * X[:4])
+    Q, mon = b_orthonormalize_blocked_t(lambda V: V, X, block=8, eps=0.0)
+    Qh = np.asarray(Q)
+    assert np.isfinite(Qh).all()
+    s = np.linalg.svd(Qh, compute_uv=False)
+    np.testing.assert_allclose(s[:4], 1.0, atol=1e-3)
+    # prefix-sweep variant (two blocks of 4): the second block is fully
+    # dependent on the first -> its post-projection Gram is roundoff noise
+    Q2, _ = b_orthonormalize_blocked_t(lambda V: V, X, block=4, eps=0.0)
+    assert np.isfinite(np.asarray(Q2)).all()
+
+
+def test_ortho_zero_block_stays_zero():
+    X = jnp.zeros((8, 64), dtype=jnp.float32)
+    Q = orthonormalize_blocked_t(X, block=8, eps=0.0)
+    Qh = np.asarray(Q)
+    assert np.isfinite(Qh).all()
+    np.testing.assert_allclose(Qh, 0.0, atol=1e-20)
+
+
+def test_ortho_healthy_path_unchanged():
+    # a well-conditioned block must still go through plain CholeskyQR and
+    # produce an orthonormal basis to f32 accuracy
+    X = jax.random.normal(jax.random.PRNGKey(9), (16, 256), dtype=jnp.float32)
+    Q = orthonormalize_blocked_t(X, block=8, eps=0.0, iterations=2)
+    G = np.asarray(Q) @ np.asarray(Q).T
+    np.testing.assert_allclose(G, np.eye(16), atol=5e-6)
