@@ -346,26 +346,38 @@ def eigenvalues_test(ptree) -> dict:
                 "(ev.dim=3); the 2D protocol's B is the GenEO "
                 "partition-of-unity mass matrix"
             )
-        res, t = _timed(
-            lambda: lobpcg_generalized(
-                A,
-                B,
-                nev=m,
-                tol=float(ptree["ev.tol"]),
-                maxiter=int(ptree["ev.maxiter"]),
-                shift=float(ptree["ev.shift"]),
-                reg=float(ptree["ev.regularization"]),
-                block=block,
-                seed=int(ptree["ev.seed"]),
-                precond=False if str(ptree["ev.inverse"]) == "none" else _inverse_factory(ptree),
-                ortho_iterations=int(ptree.get("ev.ortho_iterations", 2)),
-                ortho_block=(lambda s: None if s == "" else
-                             ("full" if s == "full" else int(s)))(
-                    str(ptree.get("ev.ortho_block", ""))
-                ),
-                b_identity=b_identity,
-            )
+        kwargs = dict(
+            nev=m,
+            tol=float(ptree["ev.tol"]),
+            maxiter=int(ptree["ev.maxiter"]),
+            shift=float(ptree["ev.shift"]),
+            reg=float(ptree["ev.regularization"]),
+            block=block,
+            seed=int(ptree["ev.seed"]),
+            precond=False if str(ptree["ev.inverse"]) == "none" else _inverse_factory(ptree),
+            ortho_iterations=int(ptree.get("ev.ortho_iterations", 2)),
+            ortho_block=(lambda s: None if s == "" else
+                         ("full" if s == "full" else int(s)))(
+                str(ptree.get("ev.ortho_block", ""))
+            ),
+            b_identity=b_identity,
         )
+        if bool(int(ptree.get("ev.nested", 0))):
+            # nested iteration (solvers/nested.py): coarse-grid hierarchy
+            # seeds; needs the identity pencil (the solver validates) and a
+            # structured-grid DIA operand. ev.coarse_tol default = tol/10.
+            from dune_eigensolver_tpu.solvers import lobpcg_nested
+
+            ct = str(ptree.get("ev.coarse_tol", ""))
+            run = lambda: lobpcg_nested(  # noqa: E731
+                A, B,
+                min_coarse=int(ptree.get("ev.min_coarse", 48)),
+                coarse_tol=float(ct) if ct else None,
+                **kwargs,
+            )
+        else:
+            run = lambda: lobpcg_generalized(A, B, **kwargs)  # noqa: E731
+        res, t = _timed(run)
         ev = np.asarray(res.eigenvalues)
         iters = int(res.iterations)
     elif method == "dist":

@@ -172,3 +172,22 @@ def test_smallest_protocol_elasticity(capsys):
     assert ref_line, out
     err = float(ref_line[0].split()[-1])
     assert err < 1e-8  # f64 CPU refinement on the converged f32 block
+
+
+def test_eigenvalues_test_lobpcg_nested():
+    """ev.nested=1 routes the lobpcg method through nested iteration
+    (solvers/nested.py) on the 3D identity pencil; eigenvalues must match
+    the analytic spectrum like the plain path."""
+    from dune_eigensolver_tpu.cli import eigenvalues_test
+    from dune_eigensolver_tpu.oracle.analytic import (
+        eigenvalues_laplace_dirichlet_3d,
+    )
+
+    pt = _small_ptree(**{
+        "ev.method": "lobpcg", "ev.dim": 3, "ev.N": 16, "ev.m": 4,
+        "ev.b_identity": 1, "ev.nested": 1, "ev.min_coarse": 6,
+        "ev.shift": 1e-3, "ev.tol": 1e-5,
+    })
+    r = eigenvalues_test(pt)
+    anal = eigenvalues_laplace_dirichlet_3d(16)[:4]
+    np.testing.assert_allclose(np.sort(r["eigenvalues"])[:4], anal, atol=1e-3)
