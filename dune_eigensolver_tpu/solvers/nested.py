@@ -164,6 +164,11 @@ def lobpcg_nested(
             "embedding); for a general B build the seed with "
             "prolong_vectors and call lobpcg_generalized(q0=...)"
         )
+    if "q0" in lobpcg_kwargs:
+        raise ValueError(
+            "lobpcg_nested derives q0 from the coarse hierarchy; to use "
+            "your own seed call lobpcg_generalized(q0=...) directly"
+        )
     n = A.shape[0]
     dims = detect_grid_dims(A.offsets, n)
     if dims is None:
